@@ -1,0 +1,30 @@
+"""Loss functions matching the reference's torch criteria."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pairwise_distance(x1: jnp.ndarray, x2: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """||x1 - x2 + eps||_2 rowwise — torch.nn.functional.pairwise_distance
+    semantics (eps added to the difference before the norm)."""
+    return jnp.linalg.norm(x1 - x2 + eps, ord=2, axis=-1)
+
+
+def triplet_margin_loss(
+    anchor: jnp.ndarray,
+    positive: jnp.ndarray,
+    negative: jnp.ndarray,
+    margin: float = 1.0,
+) -> jnp.ndarray:
+    """torch.nn.TripletMarginLoss(margin, p=2) with mean reduction
+    (reference: VAR/pretext_VAR.py:40,64)."""
+    d_pos = pairwise_distance(anchor, positive)
+    d_neg = pairwise_distance(anchor, negative)
+    return jnp.mean(jnp.maximum(d_pos - d_neg + margin, 0.0))
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """F.normalize(x, p=2, dim) semantics: x / max(||x||, eps)
+    (reference: models/pretext/pretext_base.py:18,23)."""
+    norm = jnp.linalg.norm(x, ord=2, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
