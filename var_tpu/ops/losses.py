@@ -1,6 +1,7 @@
 """Loss functions matching the reference's torch criteria."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -25,6 +26,12 @@ def triplet_margin_loss(
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     """F.normalize(x, p=2, dim) semantics: x / max(||x||, eps)
-    (reference: models/pretext/pretext_base.py:18,23)."""
-    norm = jnp.linalg.norm(x, ord=2, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    (reference: models/pretext/pretext_base.py:18,23).
+
+    Implemented as x * rsqrt(sum(x^2) + eps^2) — identical within float32
+    precision for non-degenerate inputs, but with a finite gradient at
+    x == 0 (jnp.linalg.norm's gradient is NaN there, and an exactly-zero
+    embedding does occur: the zero 'empty intent' sound through zero-init
+    biases)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps * eps)

@@ -1,0 +1,68 @@
+"""Device mesh construction and sharding helpers.
+
+The reference has no gradient-parallel backend at all (SURVEY.md §2.10: its
+only parallelism is N simulator processes feeding one learner device). The
+TPU-native equivalent: a jax.sharding.Mesh over the chip set with the batch
+axis sharded ('dp'); XLA inserts the gradient all-reduces over ICI. Both
+training phases (pretext triplets, PPO minibatches) shard the same way —
+batch-parallel SPMD via jit + NamedSharding, no pmap, no hand-written
+collectives.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(mesh_shape: Optional[Dict[str, int]] = None,
+               devices=None) -> Mesh:
+    """Build a Mesh from {'dp': n, ...}. Default: all devices on one 'dp'
+    axis. Axis sizes must multiply to the device count used."""
+    devices = jax.devices() if devices is None else devices
+    if not mesh_shape:
+        mesh_shape = {"dp": len(devices)}
+    names = tuple(mesh_shape.keys())
+    sizes = tuple(int(mesh_shape[n]) for n in names)
+    n_used = int(np.prod(sizes))
+    if n_used > len(devices):
+        raise ValueError(
+            f"mesh {mesh_shape} needs {n_used} devices, have {len(devices)}"
+        )
+    dev_array = np.asarray(devices[:n_used]).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Shard the leading (batch) axis across `axis`, replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
+    """device_put a pytree of host arrays with leading-axis sharding."""
+    s = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def pad_to_multiple(batch: np.ndarray, multiple: int, axis: int = 0):
+    """Pad a host batch so its size divides the dp axis; returns
+    (padded, true_size). Needed because XLA requires even shards."""
+    n = batch.shape[axis]
+    rem = n % multiple
+    if rem == 0:
+        return batch, n
+    pad = multiple - rem
+    widths = [(0, 0)] * batch.ndim
+    widths[axis] = (0, pad)
+    return np.pad(batch, widths, mode="edge"), n

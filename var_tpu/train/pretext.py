@@ -1,0 +1,310 @@
+"""VAR pretext training: jitted triplet-loss steps with fused MFCC.
+
+Rebuild of VAR_Pretext.trainRepresentation (reference: VAR/pretext_VAR.py:16-95)
+and the model-facing parts of the Pretext driver (reference: pretext.py:22-328).
+
+TPU-first structure:
+- ONE jitted train step consumes raw packed waveforms and computes
+  MFCC(pos) + MFCC(neg) + both encoders + triplet loss + Adam update in a
+  single XLA program (the reference ran per-sample torchaudio MFCC in
+  DataLoader worker processes every epoch — SURVEY.md §3.2);
+- Adam + L2 (torch Adam weight_decay semantics: decay added to the
+  gradient before the moment updates) with the MultiStepLR schedule
+  (reference: utils.py get_scheduler, milestones pretextLRDecayEpoch,
+  gamma pretextLRDecayGamma);
+- optional data-parallel sharding of the batch axis over a device mesh
+  (var_tpu/parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from var_tpu.data.audio_store import AudioStore
+from var_tpu.data.triplets import TripletBatch, load_env_data
+from var_tpu.models.encoders import build_pretext_model, init_pretext_params
+from var_tpu.ops.audio import sound_features
+from var_tpu.ops.losses import triplet_margin_loss
+from var_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def multistep_lr(base_lr: float, milestones_epochs, gamma: float,
+                 steps_per_epoch: int):
+    """torch.optim.lr_scheduler.MultiStepLR as an optax schedule
+    (scheduler.step() per epoch — reference: VAR/pretext_VAR.py:72-73)."""
+    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones_epochs}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def make_optimizer(config, steps_per_epoch: int):
+    schedule = multistep_lr(
+        config.pretextLR, config.pretextLRDecayEpoch,
+        config.pretextLRDecayGamma, steps_per_epoch,
+    )
+    # torch Adam(weight_decay): L2 term added to the gradient
+    return optax.chain(
+        optax.add_decayed_weights(config.pretextAdamL2),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+class PretextTrainer:
+    """Driver object (the reference's Pretext + VAR_Pretext roles)."""
+
+    def __init__(self, config, audio: Optional[AudioStore] = None):
+        self.config = config
+        self.model = build_pretext_model(config)
+        self.audio = audio
+        self.variables = None  # flax variables {'params': ...}
+        self.tx = None
+        self.state: Optional[TrainState] = None
+        self._param = None  # STFT params for the active dataset
+        self._mesh = None
+        self._batch_sharding = None
+        self._replicated = None
+
+    # -- setup -------------------------------------------------------------
+
+    def _ensure_audio(self):
+        if self.audio is None:
+            self.audio = AudioStore(self.config)
+            self.audio.loadData()
+        self._param = self.audio._default_param()
+        return self.audio
+
+    def init_model(self, seed: int = 0):
+        self.variables = init_pretext_params(
+            self.model, self.config, jax.random.PRNGKey(seed)
+        )
+        return self.variables
+
+    def setup_mesh(self):
+        """Optional data-parallel mesh from config.meshShape."""
+        from var_tpu.parallel.mesh import build_mesh, batch_sharding, replicated
+
+        if getattr(self.config, "meshShape", None):
+            self._mesh = build_mesh(self.config.meshShape)
+            self._batch_sharding = batch_sharding(self._mesh)
+            self._replicated = replicated(self._mesh)
+
+    # -- persistence (reference: pretext.py:102-111, VAR/pretext_VAR.py:75-80)
+
+    def save_model(self, epoch_label):
+        path = os.path.join(self.config.pretextModelSaveDir, str(epoch_label))
+        payload = {"params": self.variables["params"]}
+        if self.state is not None:
+            payload["opt_state"] = self.state.opt_state
+            payload["step"] = np.asarray(self.state.step)
+        save_checkpoint(path, payload)
+        print("Model saved to", path)
+        return path
+
+    def loadPretextModel(self, path: Optional[str] = None):
+        """Load weights for inference/fine-tune (reference: pretext.py:102-111)."""
+        path = self.config.pretextModelLoadDir if path is None else path
+        if self.variables is None:
+            self.init_model()
+        restored = load_checkpoint(path)
+        self.variables = {"params": restored["params"]}
+        print("Load weights for pretextModel from", path)
+        return self.variables
+
+    # -- the fused train step ----------------------------------------------
+
+    def _loss_fn(self, params, image, pos_feat, neg_feat):
+        out = self.model.apply({"params": params}, image, pos_feat, neg_feat)
+        return triplet_margin_loss(
+            out["image_feat"], out["sound_feat_positive"],
+            out["sound_feat_negative"], self.config.tripletMargin,
+        )
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_wav(self, state: TrainState, image, pos_wav, pos_len,
+                        pos_zero, neg_wav, neg_len, neg_zero):
+        """MFCC (both sounds) + forward + backward + Adam in one program."""
+        backend = self.config.audioBackend
+        target = self.config.sound_dim[1]
+        pos_feat = sound_features(pos_wav, pos_len, target, self._param,
+                                  backend=backend, zero_mask=pos_zero)
+        neg_feat = sound_features(neg_wav, neg_len, target, self._param,
+                                  backend=backend, zero_mask=neg_zero)
+        loss, grads = jax.value_and_grad(self._loss_fn)(
+            state.params, image, pos_feat, neg_feat)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_feat(self, state: TrainState, image, pos_feat, neg_feat):
+        """Precomputed-feature path (pretextDataHasSound shards)."""
+        loss, grads = jax.value_and_grad(self._loss_fn)(
+            state.params, image, pos_feat, neg_feat)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _embed_batch(self, params, image, pos_feat):
+        out = self.model.apply({"params": params}, image, pos_feat, None)
+        return out["image_feat"], out["sound_feat_positive"]
+
+    def _device_batch(self, batch: TripletBatch):
+        """Host->device transfer, sharded over the mesh batch axis if set."""
+        arrays = (
+            batch.image.astype(np.float32),
+        )
+        if batch.pos_feat is not None:
+            arrays += (batch.pos_feat, batch.neg_feat)
+        else:
+            arrays += (
+                batch.pos_wav, batch.pos_len, batch.pos_zero,
+                batch.neg_wav, batch.neg_len, batch.neg_zero,
+            )
+        if self._batch_sharding is not None:
+            return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
+        return tuple(jax.device_put(a) for a in arrays)
+
+    # -- the training loop (reference: VAR/pretext_VAR.py:16-95) ------------
+
+    def trainRepresentation(self, epoch: Optional[int] = None,
+                            lr: Optional[float] = None, start_ep: int = 0,
+                            plot: bool = False, dataset=None,
+                            log_csv: bool = True):
+        cfg = self.config
+        epoch = cfg.pretextEpoch if epoch is None else epoch
+        print("Begin representation training")
+        audio = self._ensure_audio()
+        ds = dataset if dataset is not None else load_env_data(cfg, audio)
+        if len(ds) == 0:
+            raise RuntimeError("empty pretext dataset")
+
+        batch_size = cfg.pretextTrainBatchSize
+        steps_per_epoch = max(1, len(ds) // batch_size)
+        self.tx = make_optimizer(cfg, steps_per_epoch)
+        if self.variables is None:
+            self.init_model(seed=cfg.pretextEnvSeed)
+        if cfg.pretextModelFineTune and os.path.exists(
+            os.path.join(cfg.pretextModelLoadDir)
+        ):
+            self.loadPretextModel()
+        params = self.variables["params"]
+        self.setup_mesh()
+        if self._replicated is not None:
+            params = jax.device_put(params, self._replicated)
+        self.state = TrainState(
+            params, self.tx.init(params), jnp.asarray(0, jnp.int32)
+        )
+
+        os.makedirs(cfg.pretextModelSaveDir, exist_ok=True)
+        cfg.save_json(os.path.join(cfg.pretextModelSaveDir, "config.json"))
+
+        loss_list = []
+        t0 = time.time()
+        n_triplets = 0
+        for ep in range(epoch):
+            losses = []
+            for batch in ds.iter_epoch(batch_size, epoch=start_ep + ep,
+                                       shuffle=True, drop_last=False):
+                dev = self._device_batch(batch)
+                if batch.pos_feat is not None:
+                    self.state, loss = self._train_step_feat(self.state, *dev)
+                else:
+                    self.state, loss = self._train_step_wav(self.state, *dev)
+                losses.append(loss)
+                n_triplets += len(batch.ground_truth)
+            avg_loss = float(np.mean([float(l) for l in losses]))
+            loss_list.append(avg_loss)
+            print(f"epoch {start_ep + ep}: average loss {avg_loss:.5f}")
+
+            if (ep + 1) % cfg.pretextModelSaveInterval == 0 or ep + 1 == epoch:
+                self.variables = {"params": self.state.params}
+                self.save_model(start_ep + ep)
+
+        dt = time.time() - t0
+        if dt > 0 and n_triplets:
+            print(f"pretext throughput: {n_triplets / dt:.1f} triplets/sec")
+
+        self.variables = {"params": self.state.params}
+        if log_csv and cfg.pretextTrain:
+            import pandas as pd
+
+            df = pd.DataFrame({"avg_loss": loss_list})
+            save_path = os.path.join(cfg.pretextModelSaveDir, "progress.csv")
+            df.to_csv(save_path, mode="w", header=True, index=False)
+            print("results saved to", save_path)
+        print("Pretext Training Complete")
+        if plot:
+            self.plotRepresentation(ds)
+        return loss_list
+
+    # -- embedding export / plotting (reference: pretext.py:147-290) --------
+
+    def project_embeddings(self, dataset, max_batches: Optional[int] = None):
+        """Project images + positive sounds through the trained VAR; returns
+        {'img': (N, D+1), 'sound': (N, D+1)} with gt label appended
+        (reference: pretext.py:project2representation_with_ground_truth)."""
+        cfg = self.config
+        self._ensure_audio()
+        max_batches = cfg.plotNumBatch if max_batches is None else max_batches
+        img_pts, sound_pts = [], []
+        for n, batch in enumerate(
+            dataset.iter_epoch(cfg.pretextTestBatchSize, epoch=0, shuffle=False)
+        ):
+            if n >= max_batches:
+                break
+            if batch.pos_feat is not None:
+                pos_feat = jnp.asarray(batch.pos_feat)
+            else:
+                pos_feat = sound_features(
+                    jnp.asarray(batch.pos_wav), jnp.asarray(batch.pos_len),
+                    cfg.sound_dim[1], self._param, backend=cfg.audioBackend,
+                    zero_mask=jnp.asarray(batch.pos_zero),
+                )
+            img_f, snd_f = self._embed_batch(
+                self.state.params if self.state else self.variables["params"],
+                jnp.asarray(batch.image), pos_feat)
+            gt = batch.ground_truth[:, None].astype(np.float32)
+            img_pts.append(np.concatenate([np.asarray(img_f), gt], axis=1))
+            sound_pts.append(np.concatenate([np.asarray(snd_f), gt], axis=1))
+        return {
+            "img": np.concatenate(img_pts, axis=0),
+            "sound": np.concatenate(sound_pts, axis=0),
+        }
+
+    def plotRepresentation(self, dataset, out_path: Optional[str] = None):
+        """3-D sphere scatter (or t-SNE for D>3) saved to disk
+        (reference: pretext.py:205-265; saved rather than shown — headless)."""
+        pts = self.project_embeddings(dataset)
+        from var_tpu.utils.plotting import plot_representation
+
+        out_path = out_path or os.path.join(
+            self.config.pretextModelSaveDir, "representation.png")
+        plot_representation(pts, self.config.representationDim, out_path)
+        print("representation plot saved to", out_path)
+        return out_path
+
+    def testRepresentation(self, dataset=None):
+        """pretextTestMethod == 'plot' (reference: pretext.py:138-145)."""
+        if self.config.pretextTestMethod == "plot":
+            ds = dataset if dataset is not None else load_env_data(
+                self.config, self._ensure_audio())
+            if self.state is None:
+                self.loadPretextModel()
+                self.state = TrainState(self.variables["params"], None,
+                                        jnp.asarray(0, jnp.int32))
+            return self.plotRepresentation(ds)
+        raise NotImplementedError(self.config.pretextTestMethod)
