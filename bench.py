@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Headline benchmark: VAR pretext throughput (triplets/sec/chip).
+
+Measures the full pretext training pipeline — host triplet batch assembly
+(clip sampling + packing) + on-device fused MFCC (pos+neg) + both encoders
++ triplet loss + Adam — on the arm profile, batch 128 (the reference's
+configuration: Envs/pybullet/arms/tasks/fourInARow/config.py:37,25).
+
+Baseline: a faithful PyTorch-CPU twin of the reference's training step
+(per-sample MFCC exactly as torchaudio computes it, via torch.stft, inside
+the batch loop, then the same conv/MLP triplet forward/backward with Adam
+— reference: VAR/pretext_VAR.py:44-70, Envs/audioLoader.py:147-164,
+models/pretext/arm_pretext_model.py). Measured live each run.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "triplets/s", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BATCH = 128
+REP_DIM = 3
+
+
+def _make_batches(n_batches: int, seed: int = 0):
+    """Shared workload: images + per-row (clip, class) draws."""
+    from var_tpu.config import main_config
+    from var_tpu.data.audio_store import AudioStore
+
+    cfg = main_config(env="arms")
+    audio = AudioStore(cfg)
+    audio.loadData()
+    rng = np.random.RandomState(seed)
+    batches = []
+    for _ in range(n_batches):
+        image = rng.rand(BATCH, 3, 96, 96).astype(np.float32)
+        gt = rng.randint(0, cfg.taskNum + 1, size=BATCH)
+        sn = rng.randint(0, cfg.taskNum + 1, size=BATCH)
+        batches.append((image, gt, sn))
+    return cfg, audio, batches
+
+
+def bench_tpu(cfg, audio, batches, warmup: int = 2, iters: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from var_tpu.train.pretext import PretextTrainer, TrainState, make_optimizer
+
+    trainer = PretextTrainer(cfg, audio=audio)
+    trainer._ensure_audio()
+    trainer.tx = make_optimizer(cfg, steps_per_epoch=100)
+    trainer.init_model(seed=0)
+    params = trainer.variables["params"]
+    state = TrainState(params, trainer.tx.init(params), jnp.asarray(0, jnp.int32))
+
+    rng = np.random.RandomState(1)
+
+    def host_prep(b):
+        image, gt, sn = b
+        pos_wav, pos_len, pos_zero = audio.sample_clip_batch(gt, rng)
+        neg_wav, neg_len, neg_zero = audio.sample_clip_batch(sn, rng)
+        return (image, pos_wav, pos_len, pos_zero, neg_wav, neg_len, neg_zero)
+
+    prepped = [host_prep(b) for b in batches]
+
+    # warmup / compile
+    for i in range(warmup):
+        state, loss = trainer._train_step_wav(state, *[jnp.asarray(x) for x in prepped[i % len(prepped)]])
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p = prepped[i % len(prepped)]
+        # include host->device transfer in the measurement
+        state, loss = trainer._train_step_wav(state, *[jnp.asarray(x) for x in p])
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return BATCH * iters / dt
+
+
+def bench_torch_cpu(cfg, audio, batches, iters: int = 2):
+    """Reference-style step: per-sample torch MFCC + torch conv model."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    param = audio._default_param()
+    n_fft, win, hop = param.n_fft, param.win_length, param.hop_length
+    window = torch.hamming_window(win)
+
+    from var_tpu.ops.audio import dct_matrix, mel_filterbank
+
+    mel_fb = torch.from_numpy(
+        mel_filterbank(n_fft // 2 + 1, 40, 16000).astype(np.float32))
+    dct_m = torch.from_numpy(dct_matrix(40, 40).astype(np.float32))
+
+    def mfcc(clip_i16: np.ndarray) -> np.ndarray:
+        x = torch.from_numpy((clip_i16 / 32768.0).astype(np.float32))
+        spec = torch.stft(x, n_fft=n_fft, hop_length=hop, win_length=win,
+                          window=window, center=True, pad_mode="reflect",
+                          return_complex=True)
+        power = spec.abs() ** 2  # (F, T)
+        mel = power.T @ mel_fb  # (T, 40)
+        logmel = torch.log(mel + 1e-6)
+        return (logmel @ dct_m).numpy()  # (T, 40)
+
+    def feat_for(class_idx, rng):
+        if class_idx >= cfg.taskNum:
+            return np.zeros((1, cfg.sound_dim[1], 40), np.float32)
+        clips = audio.class_clips(int(class_idx))
+        clip = clips[rng.randint(len(clips))]
+        f = mfcc(clip)
+        out = np.zeros((1, cfg.sound_dim[1], 40), np.float32)
+        t = min(len(f), cfg.sound_dim[1])
+        out[0, :t] = f[:t]
+        return out
+
+    class ArmNet(nn.Module):
+        """Same architecture family as the reference arm VARPretextNet."""
+
+        def __init__(self):
+            super().__init__()
+            conv = []
+            chans = [3, 32, 32, 64, 64, 64]
+            for i in range(5):
+                conv += [nn.Conv2d(chans[i], chans[i + 1], 3, stride=2,
+                                   padding=1), nn.ReLU()]
+            self.img = nn.Sequential(*conv, nn.Flatten(),
+                                     nn.Linear(64 * 9, 128), nn.ReLU(),
+                                     nn.Linear(128, REP_DIM))
+            self.snd = nn.Sequential(
+                nn.Conv2d(1, 32, (5, 40), stride=(2, 1)), nn.ReLU(),
+                nn.Conv2d(32, 32, (3, 1), stride=(2, 1)), nn.ReLU(),
+                nn.Conv2d(32, 32, (3, 1), stride=(2, 1)), nn.ReLU(),
+                nn.Conv2d(32, 32, (3, 1), stride=(2, 1)), nn.ReLU(),
+                nn.Flatten(), nn.Linear(32 * 5, 128), nn.ReLU(),
+                nn.Linear(128, REP_DIM))
+
+        def forward(self, img, pos, neg):
+            f = nn.functional.normalize
+            return (f(self.img(img), dim=1), f(self.snd(pos), dim=1),
+                    f(self.snd(neg), dim=1))
+
+    model = ArmNet()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4, weight_decay=1e-6)
+    criterion = torch.nn.TripletMarginLoss(margin=1.0, p=2)
+    rng = np.random.RandomState(2)
+
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(iters):
+        image, gt, sn = batches[i % len(batches)]
+        pos = np.stack([feat_for(g, rng) for g in gt])
+        neg = np.stack([feat_for(s, rng) for s in sn])
+        img_t = torch.from_numpy(image)
+        pos_t = torch.from_numpy(pos)
+        neg_t = torch.from_numpy(neg)
+        opt.zero_grad()
+        a, p, ng = model(img_t, pos_t, ng_t := neg_t)
+        loss = criterion(a, p, ng)
+        loss.backward()
+        opt.step()
+        n += BATCH
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    cfg, audio, batches = _make_batches(4)
+    tpu_tps = bench_tpu(cfg, audio, batches)
+    print(f"# tpu: {tpu_tps:.1f} triplets/s", file=sys.stderr)
+    try:
+        cpu_tps = bench_torch_cpu(cfg, audio, batches)
+        print(f"# torch-cpu baseline: {cpu_tps:.1f} triplets/s", file=sys.stderr)
+    except Exception as e:  # baseline failure must not kill the bench
+        print(f"# torch baseline failed: {e}", file=sys.stderr)
+        cpu_tps = None
+    vs = tpu_tps / cpu_tps if cpu_tps else None
+    print(json.dumps({
+        "metric": "var_pretext_triplets_per_sec_per_chip",
+        "value": round(tpu_tps, 1),
+        "unit": "triplets/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,10 @@ class Env:
     def close(self):
         pass
 
+    @property
+    def unwrapped(self):
+        return self
+
 
 _REGISTRY: Dict[str, Callable[..., Env]] = {}
 
@@ -93,6 +97,10 @@ class TimeLimitMask:
 
     def reset(self, **kwargs):
         return self.env.reset(**kwargs)
+
+    @property
+    def unwrapped(self):
+        return self.env
 
     def __getattr__(self, name):
         return getattr(self.env, name)

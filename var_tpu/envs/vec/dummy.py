@@ -17,13 +17,10 @@ class DummyVecEnv(VecEnv):
         env = self.envs[0]
         super().__init__(len(env_fns), env.observation_space, env.action_space)
         if audio is not None:
+            # inject the shared audio store (reference injects the
+            # module-level audioLoader — dummy_vec_env.py:6-18)
             for e in self.envs:
-                # inject the shared audio store (reference injects the
-                # module-level audioLoader — dummy_vec_env.py:6-18)
-                e.unwrapped.audio = audio if not hasattr(e, "env") else audio
-                # TimeLimitMask wrapping: set on the inner env
-                inner = getattr(e, "env", e)
-                inner.audio = audio
+                e.unwrapped.audio = audio
         self.actions = None
         self.obs_list = [None] * self.num_envs
 

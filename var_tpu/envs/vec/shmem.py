@@ -171,8 +171,7 @@ def _subproc_worker(pipe, parent_pipe, env_fn_wrapper, obs_buf, obs_shapes,
     env = env_fn_wrapper.x()
     audio = audio_wrapper.x
     if audio is not None:
-        inner = getattr(env, "env", env)
-        inner.audio = audio
+        env.unwrapped.audio = audio
         audio.loadData()
     try:
         while True:

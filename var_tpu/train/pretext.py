@@ -251,6 +251,73 @@ class PretextTrainer:
             self.plotRepresentation(ds)
         return loss_list
 
+    # -- data collection (reference: pretext.py:31-100) ---------------------
+
+    def collectPretextData(self, fileName: Optional[str] = None):
+        """Per-class quota collection over vectorized pretext envs, pickled
+        into shards data_<epoch>.pickle; the file budget auto-extends when
+        quotas are unmet (reference: pretext.py:55-58)."""
+        import copy
+
+        from var_tpu.data.triplets import save_shard
+        from var_tpu.envs.vec.factory import make_vec_envs
+
+        cfg = self.config
+        print("Begin collecting...")
+        target_num = list(cfg.pretextCollectNum)
+        collected = [0] * (cfg.taskNum + 1)
+        audio = self._ensure_audio()
+        envs = make_vec_envs(
+            env_name=cfg.pretextEnvName,
+            seed=cfg.pretextEnvSeed,
+            num_processes=cfg.pretextNumEnvs,
+            gamma=None,
+            randomCollect=True,
+            config=cfg,
+            audio=audio,
+        )
+
+        def harvest(observations):
+            for pairs in envs.unwrapped.obs_list:
+                gt = int(np.asarray(pairs["ground_truth"]).reshape(()))
+                if collected[gt] < target_num[gt]:
+                    observations.append(copy.deepcopy(pairs))
+                    collected[gt] += 1
+
+        observations: list = []
+        envs.reset()
+        harvest(observations)
+        epoch = 0
+        num_files = cfg.pretextDataNumFiles
+        while epoch <= num_files:
+            if epoch == num_files and sum(collected) < sum(target_num):
+                num_files += 3
+                print("Increase number of files")
+            print("Number of pairs for each object", collected)
+            for _episode in range(cfg.pretextDataEpisode):
+                for _ in range(cfg.pretextEnvMaxSteps):
+                    action = [
+                        np.zeros(cfg.pretextActionDim, np.float32)
+                        if hasattr(cfg, "pretextActionDim")
+                        else 0
+                        for _ in range(cfg.pretextNumEnvs)
+                    ]
+                    envs.step(action)
+                    harvest(observations)
+                if sum(collected) == sum(target_num):
+                    break
+            name = f"data_{epoch}" if fileName is None else fileName
+            save_shard(
+                os.path.join(cfg.pretextDataDir[0], "train", name + ".pickle"),
+                observations,
+            )
+            observations = []
+            if sum(collected) == sum(target_num):
+                break
+            epoch += 1
+        envs.close()
+        return epoch
+
     # -- embedding export / plotting (reference: pretext.py:147-290) --------
 
     def project_embeddings(self, dataset, max_batches: Optional[int] = None):
@@ -296,6 +363,24 @@ class PretextTrainer:
         plot_representation(pts, self.config.representationDim, out_path)
         print("representation plot saved to", out_path)
         return out_path
+
+    # -- mode dispatch (reference: pretext.py:292-328 run) -------------------
+
+    def run(self):
+        """Collection / training / testing dispatch from config booleans."""
+        cfg = self.config
+        from var_tpu.config import gym_register
+
+        gym_register(cfg)
+        if cfg.pretextManualControl or cfg.pretextManualCollect:
+            raise NotImplementedError(
+                "interactive manual collection requires a TTY/display")
+        if cfg.pretextCollection:
+            self.collectPretextData()
+        if cfg.pretextTrain:
+            self.trainRepresentation(epoch=cfg.pretextEpoch, lr=cfg.pretextLR)
+        elif not cfg.pretextCollection:
+            self.testRepresentation()
 
     def testRepresentation(self, dataset=None):
         """pretextTestMethod == 'plot' (reference: pretext.py:138-145)."""

@@ -1,0 +1,285 @@
+"""RL driver: PPO outer loop, policy eval, checkpointing.
+
+Rebuild of RLBase/RL_VAR (reference: RL.py:18-284, VAR/RL_VAR.py:12-76):
+frozen-VAR vec envs -> rollout collection (jitted policy act per step,
+jitted VAR reward inside the wrapper) -> on-device GAE -> one-program PPO
+update -> CSV progress + periodic checkpoints; deterministic per-class
+evaluation with success-rate CSVs.
+"""
+from __future__ import annotations
+
+import os
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from var_tpu.config import gym_register
+from var_tpu.envs.vec.factory import make_vec_envs
+from var_tpu.models.encoders import build_pretext_model
+from var_tpu.models.policy import act, build_policy
+from var_tpu.rl.ppo import PPO, PPOConfig, PPOState
+from var_tpu.rl.storage import RolloutStorage
+from var_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from var_tpu.train.pretext import PretextTrainer
+from var_tpu.utils.logging import CSVLogger
+
+
+class RLTrainer:
+    def __init__(self, config, env: Optional[str] = None):
+        self.config = config
+        gym_register(config, env=env)
+        self.pretextObj = PretextTrainer(config)
+        self.pretext_model = build_pretext_model(config)
+        self.pretext_params = None
+        self.policy = None
+        self.ppo = None
+        self.state: Optional[PPOState] = None
+        self.rng = jax.random.PRNGKey(config.RLEnvSeed)
+
+    # -- frozen VAR ---------------------------------------------------------
+
+    def load_pretext(self, path: Optional[str] = None):
+        self.pretextObj.loadPretextModel(path)
+        self.pretext_params = self.pretextObj.variables["params"]
+
+    # -- policy persistence (reference: RL.py:40-71,209-216) ----------------
+
+    def save_policy(self, label):
+        path = os.path.join(self.config.RLModelSaveDir, label)
+        save_checkpoint(path, {"params": self.state.params,
+                               "opt_state": self.state.opt_state,
+                               "step": np.asarray(self.state.step)})
+        return path
+
+    def load_policy_params(self, path):
+        restored = load_checkpoint(path)
+        return restored["params"]
+
+    # -- env construction ----------------------------------------------------
+
+    def _make_envs(self, num_processes, gamma):
+        return make_vec_envs(
+            env_name=self.config.RLEnvName,
+            seed=self.config.RLEnvSeed,
+            num_processes=num_processes,
+            gamma=gamma,
+            randomCollect=False,
+            config=self.config,
+            pretext_model=self.pretext_model,
+            pretext_params=self.pretext_params,
+        )
+
+    def _obs_to_device(self, obs):
+        return {k: jnp.asarray(v) for k, v in obs.items()}
+
+    # -- training (reference: RL.py:74-227 trainRL) ---------------------------
+
+    def trainRL(self, total_steps: Optional[int] = None,
+                log_interval: Optional[int] = None):
+        cfg = self.config
+        total_steps = int(cfg.RLTotalSteps if total_steps is None else total_steps)
+        log_interval = (cfg.RLLogInterval if log_interval is None
+                        else log_interval)
+        os.makedirs(cfg.RLModelSaveDir, exist_ok=True)
+        cfg.save_json(os.path.join(cfg.RLModelSaveDir, "config.json"))
+
+        envs = self._make_envs(cfg.RLNumEnvs, cfg.RLGamma)
+        obs_space = envs.venv.observation_space if hasattr(envs, "venv") else \
+            envs.observation_space
+
+        self.policy = build_policy(cfg, envs.action_space)
+        T, N = cfg.ppoNumSteps, cfg.RLNumEnvs
+        H = self.policy.recurrent_hidden_state_size
+
+        obs = envs.reset()
+        hx = jnp.zeros((N, H), jnp.float32)
+        masks = jnp.ones((N, 1), jnp.float32)
+        variables = self.policy.init(
+            jax.random.PRNGKey(cfg.RLEnvSeed), self._obs_to_device(obs), hx,
+            masks, 1)
+        if cfg.RLModelFineTune and os.path.exists(cfg.RLModelLoadDir):
+            print("Load the weights from", cfg.RLModelLoadDir)
+            variables = {"params": self.load_policy_params(cfg.RLModelLoadDir)}
+
+        self.ppo = PPO(self.policy, PPOConfig.from_config(cfg))
+        self.state = self.ppo.init_state(variables["params"])
+
+        # rollout storage over the *processed* obs space (the reward wrapper
+        # rewrites the dict; RLObsIgnore keys are already gone)
+        rollouts = RolloutStorage(
+            T, N, _processed_space(obs), envs.action_space, H, cfg)
+        rollouts.set_first_obs(_to_f32(obs))
+
+        episode_rewards = deque(maxlen=10)
+        env_rewards = np.zeros(N)
+        logger = CSVLogger(os.path.join(cfg.RLModelSaveDir, "progress.csv"))
+        start = time.time()
+        num_updates = total_steps // T // N
+
+        for j in range(num_updates):
+            for step in range(T):
+                self.rng, sub = jax.random.split(self.rng)
+                step_out = act(
+                    self.policy, {"params": self.state.params},
+                    self._obs_to_device({k: v[step] for k, v in
+                                         rollouts.obs.items()}),
+                    jnp.asarray(rollouts.recurrent_hidden_states[step]),
+                    jnp.asarray(rollouts.masks[step]), sub)
+                action = np.asarray(step_out.action)
+                obs, reward, done, infos = envs.step(action)
+
+                env_rewards = env_rewards + envs.origStepReward
+                for index in np.where(done)[0]:
+                    episode_rewards.append(env_rewards[index])
+                    env_rewards[index] = 0.0
+
+                masks_np = (~done).astype(np.float32)[:, None]
+                bad_masks_np = np.asarray(
+                    [[0.0] if "bad_transition" in info else [1.0]
+                     for info in infos], np.float32)
+                rollouts.insert(
+                    _to_f32(obs), np.asarray(step_out.rnn_hx), action,
+                    np.asarray(step_out.action_log_prob),
+                    np.asarray(step_out.value), reward, masks_np, bad_masks_np)
+
+            last = act(
+                self.policy, {"params": self.state.params},
+                self._obs_to_device({k: v[-1] for k, v in rollouts.obs.items()}),
+                jnp.asarray(rollouts.recurrent_hidden_states[-1]),
+                jnp.asarray(rollouts.masks[-1]), jax.random.PRNGKey(0),
+                deterministic=True)
+            rollouts.compute_returns(
+                np.asarray(last.value), cfg.ppoUseGAE, cfg.RLGamma,
+                cfg.ppoGAELambda, cfg.RLUseProperTimeLimits)
+
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, metrics = self.ppo.update(
+                self.state, rollouts.device_batch(), sub)
+            rollouts.after_update()
+
+            if (j % cfg.RLModelSaveInterval == 0 or j == num_updates - 1) \
+                    and cfg.RLModelSaveDir:
+                self.save_policy("%.5i" % j)
+
+            if j % log_interval == 0 and len(episode_rewards) > 1:
+                total_num_steps = (j + 1) * N * T
+                fps = int(total_num_steps / (time.time() - start))
+                m = {k: float(v) for k, v in metrics.items()}
+                print(
+                    f"Updates {j}, num timesteps {total_num_steps}, FPS {fps}\n"
+                    f" Last {len(episode_rewards)} episodes: mean/median reward "
+                    f"{np.mean(episode_rewards):.2f}/{np.median(episode_rewards):.2f}, "
+                    f"min/max {np.min(episode_rewards):.2f}/{np.max(episode_rewards):.2f}, "
+                    f"entropy {m['dist_entropy']:.3f} vloss {m['value_loss']:.3f} "
+                    f"aloss {m['action_loss']:.3f}")
+                logger.log({
+                    "misc/nupdates": j,
+                    "misc/total_timesteps": total_num_steps,
+                    "fps": fps,
+                    "eprewmean": float(np.mean(episode_rewards)),
+                    "min": float(np.min(episode_rewards)),
+                    "max": float(np.max(episode_rewards)),
+                    "loss/policy_entropy": m["dist_entropy"],
+                    "loss/policy_loss": m["action_loss"],
+                    "loss/value_loss": m["value_loss"],
+                })
+
+        envs.close()
+        return self.state
+
+    # -- evaluation (reference: VAR/RL_VAR.py:12-76 testRL) --------------------
+
+    def testRL(self, num_episodes: Optional[int] = None,
+               policy_path: Optional[str] = None):
+        cfg = self.config
+        envs = self._make_envs(1, cfg.RLGamma)
+        base_env = envs.unwrapped.envs[0].env if hasattr(
+            envs.unwrapped, "envs") else None
+
+        self.policy = build_policy(cfg, envs.action_space)
+        H = self.policy.recurrent_hidden_state_size
+        obs = envs.reset()
+        hx = jnp.zeros((1, H), jnp.float32)
+        masks = jnp.zeros((1, 1), jnp.float32)
+        variables = self.policy.init(
+            jax.random.PRNGKey(0), self._obs_to_device(obs), hx, masks, 1)
+        path = policy_path or cfg.skillInfos[0]["path"]
+        if os.path.exists(path):
+            variables = {"params": self.load_policy_params(path)}
+            print("Load the weights from", path)
+
+        episode_num = (int(base_env.size_per_class_cumsum[-1])
+                       if base_env is not None else 20)
+        if num_episodes is not None:
+            episode_num = num_episodes
+
+        results, goal_counts, ep_rewards = [], [], []
+        eval_env_reward = 0.0
+        rng = jax.random.PRNGKey(1)
+        episodes = 0
+        while episodes < episode_num:
+            rng, sub = jax.random.split(rng)
+            step_out = act(self.policy, variables, self._obs_to_device(obs),
+                           hx, masks, sub, deterministic=cfg.RLDeterministic)
+            hx = step_out.rnn_hx
+            obs, _, done, infos = envs.step(np.asarray(step_out.action))
+            eval_env_reward += float(envs.origStepReward[0])
+            masks = jnp.asarray((~done).astype(np.float32)[:, None])
+            if done[0]:
+                episodes += 1
+                gc = infos[0].get("goal_area_count", 0)
+                goal_counts.append(gc)
+                results.append(int(gc >= cfg.success_threshold))
+                ep_rewards.append(eval_env_reward)
+                eval_env_reward = 0.0
+
+        success_rate = float(np.mean(results)) if results else 0.0
+        if policy_path or cfg.skillInfos:
+            import pandas as pd
+
+            save_dir = os.path.dirname(path)
+            os.makedirs(save_dir or ".", exist_ok=True)
+            name = os.path.splitext(os.path.basename(path))[0]
+            df = pd.DataFrame({
+                "goal area count": goal_counts,
+                "rewards": ep_rewards,
+                "results": results,
+            })
+            out = os.path.join(save_dir, f"test_{name}.csv")
+            df.to_csv(out, mode="w", header=True, index=False)
+            print("results saved to", out)
+        print("success rate", success_rate)
+        envs.close()
+        return success_rate
+
+    # -- mode dispatch (reference: RL.py:251-284 run) ---------------------------
+
+    def run(self):
+        cfg = self.config
+        if not (cfg.RLManualControl and not cfg.RLManualControlLoaded):
+            self.load_pretext()
+        if cfg.RLManualControl:
+            raise NotImplementedError(
+                "interactive manual control requires a TTY; use testRL")
+        if cfg.RLTrain:
+            return self.trainRL()
+        return self.testRL()
+
+
+def _processed_space(obs_batch):
+    """Derive a DictSpace from a processed obs batch (the reward wrapper
+    defines the policy's obs schema at runtime)."""
+    from var_tpu.envs import spaces as S
+
+    d = {}
+    for k, v in obs_batch.items():
+        d[k] = S.Box(-np.inf, np.inf, shape=v.shape[1:], dtype=np.float32)
+    return S.DictSpace(d)
+
+
+def _to_f32(obs):
+    return {k: np.asarray(v, dtype=np.float32) for k, v in obs.items()}
