@@ -322,7 +322,9 @@ class AudioStore:
         param = self._default_param()
         buf_len = self.buf_len
         B = len(class_ids)
-        bufs = np.zeros((B, buf_len), dtype=np.float32)
+        # int16 buffers: the /32768 scaling happens on-device after the
+        # (halved) host->device transfer
+        bufs = np.zeros((B, buf_len), dtype=np.int16)
         lengths = np.zeros((B,), dtype=np.int32)
         zero_mask = np.zeros((B,), dtype=bool)
         for i, c in enumerate(class_ids):
@@ -336,7 +338,7 @@ class AudioStore:
             max_samples = buf_len - param.n_fft
             if len(clip) > max_samples:
                 clip = clip[:max_samples]
-            bufs[i] = pack_waveform(clip, buf_len, param.n_fft)
+            bufs[i] = pack_waveform(clip, buf_len, param.n_fft, keep_int16=True)
             lengths[i] = len(clip)
         return bufs, lengths, zero_mask
 

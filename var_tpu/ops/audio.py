@@ -151,25 +151,35 @@ def _reflect_pad_batch(wav: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
 
 
-def pack_waveform(clip: np.ndarray, buf_len: int, n_fft: int) -> np.ndarray:
+def pack_waveform(clip: np.ndarray, buf_len: int, n_fft: int,
+                  keep_int16: bool = False) -> np.ndarray:
     """Host-side packing of one variable-length clip into a fixed buffer.
 
     Applies the center=True reflect padding at the clip's *true* boundaries
     (n_fft//2 samples each side) so batched framing of the buffer is
     bit-identical to a per-clip STFT — the layout is
     [reflect_left | clip | reflect_right | zeros...]. `buf_len` must be
-    >= len(clip) + n_fft. Returns a float32 buffer of length buf_len.
+    >= len(clip) + n_fft.
+
+    keep_int16=True keeps int16 samples (reflection is exact on integers);
+    the device pipeline then applies the /32768 scaling after transfer,
+    halving host->device bandwidth.
     """
     clip = np.asarray(clip)
-    if clip.dtype == np.int16:
-        clip = (clip / 32768.0).astype(np.float32)
-    clip = clip.astype(np.float32)
+    if keep_int16:
+        assert clip.dtype == np.int16
+        out_dtype = np.int16
+    else:
+        if clip.dtype == np.int16:
+            clip = (clip / 32768.0).astype(np.float32)
+        clip = clip.astype(np.float32)
+        out_dtype = np.float32
     pad = n_fft // 2
     L = clip.shape[0]
     if L + 2 * pad > buf_len:
         clip = clip[: buf_len - 2 * pad]
         L = clip.shape[0]
-    out = np.zeros(buf_len, dtype=np.float32)
+    out = np.zeros(buf_len, dtype=out_dtype)
     padded = np.pad(clip, (pad, pad), mode="reflect")
     out[: L + 2 * pad] = padded
     return out
@@ -288,6 +298,8 @@ def sound_features(
 
     Returns (B, 1, target_frames, 40) float features.
     """
+    if wav.dtype == jnp.int16:
+        wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
     B, L = wav.shape
     T = num_frames(L - params.n_fft, params.hop_length)
     feats = mfcc_batch(wav, params, backend=backend, pre_padded=True)  # (B, T, 40)

@@ -63,7 +63,9 @@ class VecVARReward(VecEnvWrapper):
                           cached_goal):
         """Encode image always; encode goal sound and select per-row between
         fresh embedding and cache. Sentinel rows are sanitized to zeros
-        before the encoder so no inf/nan propagates."""
+        before the encoder so no inf/nan propagates. Images arrive uint8
+        and are normalized here (transfer stays 4x smaller)."""
+        image = image.astype(jnp.float32) * (1.0 / 255.0)
         _, image_feat = self.model.apply(
             {"params": params}, image, method=self.model.encode_image)
         safe = jnp.where(jnp.isfinite(goal_sound), goal_sound, 0.0)
@@ -74,6 +76,7 @@ class VecVARReward(VecEnvWrapper):
 
     @functools.partial(jax.jit, static_argnums=0)
     def _infer_image_only(self, params, image):
+        image = image.astype(jnp.float32) * (1.0 / 255.0)
         _, image_feat = self.model.apply(
             {"params": params}, image, method=self.model.encode_image)
         return image_feat
@@ -87,7 +90,7 @@ class VecVARReward(VecEnvWrapper):
     # -- embedding + reward (reference getEmbeddings/calcReward) ----------------
 
     def _get_embeddings(self, obs):
-        image = jnp.asarray(obs["image"].astype(np.float32) / 255.0)
+        image = jnp.asarray(obs["image"])  # uint8; normalized on device
         goal = obs["goal_sound"]
         # host-side sentinel check (cheap: one corner value per env row)
         fresh = np.isfinite(

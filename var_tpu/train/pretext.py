@@ -126,6 +126,8 @@ class PretextTrainer:
     # -- the fused train step ----------------------------------------------
 
     def _loss_fn(self, params, image, pos_feat, neg_feat):
+        if image.dtype == jnp.uint8:
+            image = image.astype(jnp.float32) * (1.0 / 255.0)
         out = self.model.apply({"params": params}, image, pos_feat, neg_feat)
         return triplet_margin_loss(
             out["image_feat"], out["sound_feat_positive"],
@@ -159,14 +161,15 @@ class PretextTrainer:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _embed_batch(self, params, image, pos_feat):
+        if image.dtype == jnp.uint8:
+            image = image.astype(jnp.float32) * (1.0 / 255.0)
         out = self.model.apply({"params": params}, image, pos_feat, None)
         return out["image_feat"], out["sound_feat_positive"]
 
     def _device_batch(self, batch: TripletBatch):
-        """Host->device transfer, sharded over the mesh batch axis if set."""
-        arrays = (
-            batch.image.astype(np.float32),
-        )
+        """Host->device transfer, sharded over the mesh batch axis if set.
+        Images travel as uint8, waveforms as int16 (normalized on device)."""
+        arrays = (batch.image,)
         if batch.pos_feat is not None:
             arrays += (batch.pos_feat, batch.neg_feat)
         else:
