@@ -1,0 +1,65 @@
+"""Tracing / profiling helpers.
+
+The reference has no profiling beyond wall-clock FPS prints (SURVEY.md §5.1).
+Here: jax.profiler trace capture as a context manager + a lightweight
+per-phase step timer whose summaries feed the progress logs.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, Optional
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str]) -> Iterator[None]:
+    """Capture a jax.profiler trace (viewable in TensorBoard/Perfetto) when
+    log_dir is set; no-op otherwise."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class PhaseTimer:
+    """Accumulates wall-clock per named phase ('env_step', 'var_reward',
+    'policy_act', 'ppo_update', ...)."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def phase(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {
+            k: {
+                "total_s": round(self.totals[k], 4),
+                "count": self.counts[k],
+                "mean_ms": round(1e3 * self.totals[k] / max(1, self.counts[k]), 3),
+            }
+            for k in sorted(self.totals)
+        }
+
+    def p50_ms(self, name: str) -> float:
+        if not self.counts.get(name):
+            return 0.0
+        return 1e3 * self.totals[name] / self.counts[name]
+
+    def reset(self):
+        self.totals.clear()
+        self.counts.clear()
