@@ -1,0 +1,114 @@
+"""Full two-stage pipeline driver tests: collect -> train VAR -> RL -> eval,
+plus the self-improvement loop."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from var_tpu.config import gym_register, main_config
+
+
+def _cfg(tmp_path, env="arms"):
+    cfg = main_config(env=env)
+    cfg.override(
+        pretextDataDir=[os.path.join(str(tmp_path), "pretext_data")],
+        pretextModelSaveDir=os.path.join(str(tmp_path), "var_model"),
+        pretextModelLoadDir=os.path.join(str(tmp_path), "var_model", "0"),
+        RLModelSaveDir=os.path.join(str(tmp_path), "rl_model"),
+        RLModelLoadDir=os.path.join(str(tmp_path), "rl_model", "00000"),
+        pretextCollectNum=[3, 3, 3, 3, 6],
+        pretextDataEpisode=4,
+        pretextDataNumFiles=2,
+        pretextEnvMaxSteps=5,
+        pretextNumEnvs=2,
+        pretextEpoch=1,
+        pretextModelSaveInterval=1,
+        pretextTrainBatchSize=6,
+        pretextModelFineTune=False,
+        pretextDataset="VARDataset",
+        RLTrain=True,
+        RLModelFineTune=False,
+        RLNumEnvs=2,
+        RLEnvMaxSteps=3,
+        ppoNumSteps=3,
+        ppoNumMiniBatch=2,
+        ppoEpoch=1,
+        RLRecurrentSize=32,
+        RLRecurrentInputSize=16,
+        RLModelSaveInterval=1,
+        vecEnvBackend="dummy",
+    )
+    cfg.skillInfos[0]["path"] = os.path.join(str(tmp_path), "rl_model", "00000")
+    os.makedirs(cfg.pretextDataDir[0], exist_ok=True)
+    return cfg
+
+
+@pytest.mark.parametrize("env", ["arms", "ai2thor"])
+def test_collect_pretext_data(tmp_path, env):
+    from var_tpu.train.pretext import PretextTrainer
+
+    cfg = _cfg(tmp_path, env=env)
+    if env == "ai2thor":
+        cfg.override(pretextCollectNum=[2, 2, 2, 2, 4])
+    gym_register(cfg, env=env)
+    trainer = PretextTrainer(cfg)
+    trainer.collectPretextData()
+    shards = glob.glob(os.path.join(cfg.pretextDataDir[0], "train", "*.pickle"))
+    assert shards
+    from var_tpu.data.triplets import load_shard
+
+    pairs = [p for s in shards for p in load_shard(s)]
+    assert pairs
+    for p in pairs[:5]:
+        assert p["image"].shape == (3, 96, 96)
+        assert 0 <= int(np.asarray(p["ground_truth"]).reshape(())) <= cfg.taskNum
+
+
+def test_full_pipeline_arm(tmp_path):
+    """collect -> train VAR -> train RL -> eval, end to end."""
+    from var_tpu.train.pretext import PretextTrainer
+    from var_tpu.train.rl import RLTrainer
+
+    cfg = _cfg(tmp_path)
+    gym_register(cfg, env="arms")
+
+    # stage 1: collect + train the VAR
+    pretext = PretextTrainer(cfg)
+    pretext.collectPretextData()
+    losses = pretext.trainRepresentation(epoch=1, log_csv=True)
+    assert np.isfinite(losses).all()
+    assert os.path.isdir(cfg.pretextModelLoadDir)
+
+    # stage 2: RL with the frozen VAR
+    rl = RLTrainer(cfg, env="arms")
+    rl.load_pretext()
+    rl.trainRL(total_steps=cfg.ppoNumSteps * cfg.RLNumEnvs * 2, log_interval=1)
+    assert os.path.isdir(os.path.join(cfg.RLModelSaveDir, "00000"))
+
+    # stage 3: eval the saved policy
+    cfg.override(RLTrain=False)
+    rl2 = RLTrainer(cfg, env="arms")
+    rl2.load_pretext()
+    rate = rl2.testRL(num_episodes=2)
+    assert 0.0 <= rate <= 1.0
+    # eval CSV exists (reference: VAR/RL_VAR.py:66-75)
+    assert glob.glob(os.path.join(cfg.RLModelSaveDir, "test_*.csv"))
+
+
+def test_self_improve_round(tmp_path):
+    from var_tpu.train.pretext import PretextTrainer
+    from var_tpu.train.self_improve import self_improve
+
+    cfg = _cfg(tmp_path)
+    gym_register(cfg, env="arms")
+    # bootstrap a VAR checkpoint to fine-tune from
+    pretext = PretextTrainer(cfg)
+    pretext.collectPretextData()
+    pretext.trainRepresentation(epoch=1, log_csv=False)
+
+    self_improve(cfg, rounds=1, env="arms", pretext_epochs=1,
+                 rl_steps=cfg.ppoNumSteps * cfg.RLNumEnvs)
+    # fine-tuned artifacts exist
+    assert os.path.isdir(os.path.join(cfg.pretextModelSaveDir, "0"))
+    assert os.path.isdir(os.path.join(cfg.RLModelSaveDir, "00000"))

@@ -51,6 +51,9 @@ class VecVARReward(VecEnvWrapper):
         self.origStepReward = np.zeros(venv.num_envs)
         self.cached_goal_feat = np.zeros(
             (venv.num_envs, config.representationDim), dtype=np.float32)
+        from var_tpu.utils.profiling import PhaseTimer
+
+        self.timer = PhaseTimer()  # 'var_reward' p50 ms tracked per step
         self.processing_func = {
             "ArmConfig": self._process_arm,
             "AI2ThorConfig": self._process_ai2thor,
@@ -147,7 +150,8 @@ class VecVARReward(VecEnvWrapper):
 
     def step_wait(self):
         obs, env_rews, news, infos = self.venv.step_wait()
-        obs, rews = self.processing_func(obs, env_rews)
+        with self.timer.phase("var_reward"):
+            obs, rews = self.processing_func(obs, env_rews)
         self.origStepReward = np.asarray(rews).copy()
         if self.ret_norm is not None:
             self.ret_norm, rews = normalize_rewards(self.ret_norm, rews, news)

@@ -26,6 +26,7 @@ from var_tpu.rl.storage import RolloutStorage
 from var_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from var_tpu.train.pretext import PretextTrainer
 from var_tpu.utils.logging import CSVLogger
+from var_tpu.utils.profiling import PhaseTimer, device_trace
 
 
 class RLTrainer:
@@ -39,6 +40,7 @@ class RLTrainer:
         self.ppo = None
         self.state: Optional[PPOState] = None
         self.rng = jax.random.PRNGKey(config.RLEnvSeed)
+        self.timer = PhaseTimer()
 
     # -- frozen VAR ---------------------------------------------------------
 
@@ -123,14 +125,16 @@ class RLTrainer:
         for j in range(num_updates):
             for step in range(T):
                 self.rng, sub = jax.random.split(self.rng)
-                step_out = act(
-                    self.policy, {"params": self.state.params},
-                    self._obs_to_device({k: v[step] for k, v in
-                                         rollouts.obs.items()}),
-                    jnp.asarray(rollouts.recurrent_hidden_states[step]),
-                    jnp.asarray(rollouts.masks[step]), sub)
-                action = np.asarray(step_out.action)
-                obs, reward, done, infos = envs.step(action)
+                with self.timer.phase("policy_act"):
+                    step_out = act(
+                        self.policy, {"params": self.state.params},
+                        self._obs_to_device({k: v[step] for k, v in
+                                             rollouts.obs.items()}),
+                        jnp.asarray(rollouts.recurrent_hidden_states[step]),
+                        jnp.asarray(rollouts.masks[step]), sub)
+                    action = np.asarray(step_out.action)
+                with self.timer.phase("env_step"):
+                    obs, reward, done, infos = envs.step(action)
 
                 env_rewards = env_rewards + envs.origStepReward
                 for index in np.where(done)[0]:
@@ -157,8 +161,10 @@ class RLTrainer:
                 cfg.ppoGAELambda, cfg.RLUseProperTimeLimits)
 
             self.rng, sub = jax.random.split(self.rng)
-            self.state, metrics = self.ppo.update(
-                self.state, rollouts.device_batch(), sub)
+            with self.timer.phase("ppo_update"):
+                self.state, metrics = self.ppo.update(
+                    self.state, rollouts.device_batch(), sub)
+                jax.block_until_ready(metrics)
             rollouts.after_update()
 
             if (j % cfg.RLModelSaveInterval == 0 or j == num_updates - 1) \
@@ -176,6 +182,8 @@ class RLTrainer:
                     f"min/max {np.min(episode_rewards):.2f}/{np.max(episode_rewards):.2f}, "
                     f"entropy {m['dist_entropy']:.3f} vloss {m['value_loss']:.3f} "
                     f"aloss {m['action_loss']:.3f}")
+                var_p50 = (envs.timer.p50_ms("var_reward")
+                           if hasattr(envs, "timer") else 0.0)
                 logger.log({
                     "misc/nupdates": j,
                     "misc/total_timesteps": total_num_steps,
@@ -186,6 +194,13 @@ class RLTrainer:
                     "loss/policy_entropy": m["dist_entropy"],
                     "loss/policy_loss": m["action_loss"],
                     "loss/value_loss": m["value_loss"],
+                    "perf/var_reward_p50_ms": round(var_p50, 3),
+                    "perf/policy_act_ms": round(
+                        self.timer.p50_ms("policy_act"), 3),
+                    "perf/env_step_ms": round(
+                        self.timer.p50_ms("env_step"), 3),
+                    "perf/ppo_update_ms": round(
+                        self.timer.p50_ms("ppo_update"), 3),
                 })
 
         envs.close()
