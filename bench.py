@@ -46,7 +46,10 @@ def _make_batches(n_batches: int, seed: int = 0):
     return cfg, audio, batches
 
 
-def bench_tpu(cfg, audio, batches, warmup: int = 2, iters: int = 20):
+def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 50):
+    """The production pretext path: device-resident dataset (images + clip
+    bank uploaded once), per-step transfer = int32 indices only, MFCC +
+    forward + update fused in one program. Host index sampling included."""
     import jax
     import jax.numpy as jnp
 
@@ -59,26 +62,34 @@ def bench_tpu(cfg, audio, batches, warmup: int = 2, iters: int = 20):
     params = trainer.variables["params"]
     state = TrainState(params, trainer.tx.init(params), jnp.asarray(0, jnp.int32))
 
+    # dataset: images from the synthetic workload, clip bank from the store
     rng = np.random.RandomState(1)
+    images = np.concatenate(
+        [(b[0] * 255).astype(np.uint8) for b in batches])  # (N, 3, 96, 96)
+    gts = np.concatenate([b[1] for b in batches])
+    sns = np.concatenate([b[2] for b in batches])
+    bank_wav, bank_len, ranges = audio.build_clip_bank()
+    d_img = jax.device_put(images)
+    d_wav = jax.device_put(bank_wav)
+    d_len = jax.device_put(bank_len)
+    N = len(images)
 
-    def host_prep(b):
-        image, gt, sn = b
-        pos_wav, pos_len, pos_zero = audio.sample_clip_batch(gt, rng)
-        neg_wav, neg_len, neg_zero = audio.sample_clip_batch(sn, rng)
-        return (image, pos_wav, pos_len, pos_zero, neg_wav, neg_len, neg_zero)
+    def step(state, i):
+        idx = rng.randint(0, N, size=BATCH).astype(np.int32)
+        pos_ids, pos_zero = audio.sample_clip_ids(gts[idx], ranges, rng)
+        neg_ids, neg_zero = audio.sample_clip_ids(sns[idx], ranges, rng)
+        return trainer._train_step_indexed(
+            state, d_img, d_wav, d_len, jnp.asarray(idx),
+            jnp.asarray(pos_ids), jnp.asarray(pos_zero),
+            jnp.asarray(neg_ids), jnp.asarray(neg_zero))
 
-    prepped = [host_prep(b) for b in batches]
-
-    # warmup / compile
     for i in range(warmup):
-        state, loss = trainer._train_step_wav(state, *[jnp.asarray(x) for x in prepped[i % len(prepped)]])
+        state, loss = step(state, i)
     loss.block_until_ready()
 
     t0 = time.perf_counter()
     for i in range(iters):
-        p = prepped[i % len(prepped)]
-        # include host->device transfer in the measurement
-        state, loss = trainer._train_step_wav(state, *[jnp.asarray(x) for x in p])
+        state, loss = step(state, i)
     loss.block_until_ready()
     dt = time.perf_counter() - t0
     return BATCH * iters / dt

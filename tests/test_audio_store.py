@@ -1,0 +1,120 @@
+"""AudioStore tests: real wav-file loading (GoogleCommand/FSC layouts),
+synthetic fallback, sampling APIs, clip bank."""
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from var_tpu.config import main_config
+from var_tpu.data.audio_store import FS, AudioStore, synth_clip
+
+
+def _write_gc_corpus(root, words, n_per_word=3, split="train"):
+    rng = np.random.RandomState(0)
+    for w in words:
+        d = os.path.join(root, "GoogleCommand", split, w)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_per_word):
+            clip = (rng.randn(FS // 2) * 5000).astype(np.int16)
+            wavfile.write(os.path.join(d, f"{i}.wav"), FS, clip)
+
+
+def _write_fsc_corpus(root, obj_acts, n_per=2):
+    import pandas as pd
+
+    rng = np.random.RandomState(1)
+    rows = []
+    wav_dir = os.path.join(root, "FSC", "wavs")
+    os.makedirs(os.path.join(root, "FSC", "data"), exist_ok=True)
+    os.makedirs(wav_dir, exist_ok=True)
+    k = 0
+    for obj, acts in obj_acts.items():
+        for act in acts:
+            for i in range(n_per):
+                rel = os.path.join("wavs", f"{obj}_{act}_{i}.wav")
+                clip = (rng.randn(FS) * 4000).astype(np.int16)
+                wavfile.write(os.path.join(root, "FSC", rel), FS, clip)
+                rows.append({
+                    "path": rel, "object": obj, "action": act,
+                    "location": "none",
+                    "transcription": f"{act} the {obj}",
+                })
+                k += 1
+    pd.DataFrame(rows).to_csv(
+        os.path.join(root, "FSC", "data", "train_data.csv"), index=False)
+
+
+def test_pybullet_real_wav_loading(tmp_path):
+    cfg = main_config(env="arms")
+    cfg.override(commonMediaPath=str(tmp_path))
+    _write_gc_corpus(str(tmp_path), ["zero", "one", "two", "three"])
+    audio = AudioStore(cfg)
+    audio.loadData()
+    for i in range(cfg.taskNum):
+        assert "GoogleCommand" in audio.words[i], f"intent {i} not loaded"
+        assert len(audio.words[i]["GoogleCommand"]) == 3
+    feat, clip = audio.genSoundFeat(0, "MFCC", np.random.RandomState(0).randint)
+    assert feat.shape == (1, cfg.sound_dim[1], 40)
+    assert clip.dtype == np.int16
+
+
+def test_ai2thor_fsc_csv_loading(tmp_path):
+    cfg = main_config(env="ai2thor")
+    cfg.override(commonMediaPath=str(tmp_path))
+    _write_fsc_corpus(str(tmp_path), cfg.soundSource["FSC_obj_act"])
+    audio = AudioStore(cfg)
+    audio.loadData()
+    assert "none" in audio.words
+    assert "lights" in audio.words["none"]
+    assert len(audio.words["none"]["lights"]["activate"]) == 2
+
+    from var_tpu.envs.grid_sim import Task
+
+    feat, clip, trans = audio.getAudioFromTask(
+        np.random.RandomState(0), Task("livingRoom", "FloorLamp",
+                                       "ToggleObjectOn"))
+    assert feat.shape == (1, 600, 40)
+    assert "the" in trans
+
+
+def test_synthetic_fallback_and_determinism():
+    a = synth_clip(2, np.random.RandomState(7))
+    b = synth_clip(2, np.random.RandomState(7))
+    np.testing.assert_array_equal(a, b)
+    c = synth_clip(3, np.random.RandomState(7))
+    assert not np.array_equal(a, c)
+
+
+def test_clip_bank_and_id_sampling():
+    cfg = main_config(env="arms")
+    audio = AudioStore(cfg)
+    audio.loadData()
+    bank, lengths, ranges = audio.build_clip_bank()
+    assert bank.dtype == np.int16
+    assert bank.shape[1] == audio.buf_len
+    assert len(lengths) == bank.shape[0]
+    # each class range non-empty and within bounds
+    for c in range(cfg.taskNum):
+        lo, hi = ranges[c]
+        assert 0 <= lo < hi <= bank.shape[0]
+    rng = np.random.RandomState(0)
+    cls = np.array([0, 1, 2, 3, cfg.taskNum])
+    ids, zero = audio.sample_clip_ids(cls, ranges, rng)
+    assert zero.tolist() == [False] * 4 + [True]
+    for c, i in zip(cls[:4], ids[:4]):
+        assert ranges[c, 0] <= i < ranges[c, 1]
+
+
+def test_rejects_wrong_sample_rate(tmp_path):
+    cfg = main_config(env="arms")
+    cfg.override(commonMediaPath=str(tmp_path))
+    d = os.path.join(str(tmp_path), "GoogleCommand", "train", "zero")
+    os.makedirs(d, exist_ok=True)
+    wavfile.write(os.path.join(d, "bad.wav"), 8000,
+                  np.zeros(4000, dtype=np.int16))
+    audio = AudioStore(cfg)
+    with pytest.warns(UserWarning):
+        audio.loadData()  # falls back to synthetic for all intents
+    assert all(list(audio.words[i].keys()) == ["Synthetic"]
+               for i in range(cfg.taskNum))

@@ -98,6 +98,8 @@ def test_training_actually_learns(arm_config):
     """More epochs on separable data must drive the triplet loss well below
     the margin-1.0 starting point."""
     trainer = PretextTrainer(arm_config)
-    losses = trainer.trainRepresentation(epoch=8, log_csv=False)
-    assert losses[-1] < losses[0]
-    assert losses[-1] < 0.9
+    losses = trainer.trainRepresentation(epoch=16, log_csv=False)
+    # margin-1.0 triplet loss starts around 1.0; separable data must pull
+    # the tail average clearly below the start
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]) - 0.1
+    assert min(losses) < 0.9

@@ -343,6 +343,46 @@ class AudioStore:
         return bufs, lengths, zero_mask
 
 
+    def build_clip_bank(self):
+        """Pack every clip of every class into one (M, buf_len) int16 array
+        for device residency.
+
+        Returns (bank (M, buf_len) int16 — pre-reflect-padded pack_waveform
+        rows, lengths (M,) int32, class_ranges (taskNum+1, 2) int32 start/end
+        row per class; the empty class taskNum gets the sentinel range
+        [0, 1) — its rows are masked to zero downstream anyway).
+        """
+        from var_tpu.ops.audio import pack_waveform
+
+        param = self._default_param()
+        buf_len = self.buf_len
+        rows, lengths = [], []
+        ranges = np.zeros((self.config.taskNum + 1, 2), dtype=np.int32)
+        for c in range(self.config.taskNum):
+            start = len(rows)
+            for clip in self.class_clips(c):
+                max_samples = buf_len - param.n_fft
+                if len(clip) > max_samples:
+                    clip = clip[:max_samples]
+                rows.append(pack_waveform(clip, buf_len, param.n_fft,
+                                          keep_int16=True))
+                lengths.append(len(clip))
+            ranges[c] = (start, len(rows))
+        ranges[self.config.taskNum] = (0, 1)
+        bank = np.stack(rows).astype(np.int16)
+        return bank, np.asarray(lengths, dtype=np.int32), ranges
+
+    def sample_clip_ids(self, class_ids: np.ndarray, class_ranges: np.ndarray,
+                        rng: np.random.RandomState):
+        """Per-row clip indices into the bank + zero mask (empty class)."""
+        class_ids = np.asarray(class_ids)
+        lo = class_ranges[class_ids, 0]
+        hi = class_ranges[class_ids, 1]
+        ids = lo + (rng.rand(len(class_ids)) * (hi - lo)).astype(np.int64)
+        zero_mask = class_ids >= self.config.taskNum
+        return ids.astype(np.int32), zero_mask
+
+
 class _Tsk:
     def __init__(self, loc, obj, act):
         self.loc, self.obj, self.act = loc, obj, act

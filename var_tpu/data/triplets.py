@@ -167,6 +167,28 @@ class TripletDataset:
             )
 
 
+    # -- device-resident path helpers ---------------------------------------
+
+    def epoch_clip_ids(self, class_ranges: np.ndarray, epoch: int):
+        """Clip-bank row ids for every item, honoring the dataset semantics:
+        VARDataset redraws per epoch, the fine-tune subclass returns the
+        same frozen draw every epoch. Returns
+        (pos_ids, pos_zero, neg_ids, neg_zero), each aligned to item index."""
+        rng = self._epoch_rng(epoch)
+        pos_ids, pos_zero = self.audio.sample_clip_ids(
+            self.gts, class_ranges, rng)
+        neg_ids, neg_zero = self.audio.sample_clip_ids(
+            self.sn_ids, class_ranges, rng)
+        return pos_ids, pos_zero, neg_ids, neg_zero
+
+    def epoch_order(self, epoch: int, shuffle: bool = True) -> np.ndarray:
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(
+                hash((self._frozen_seed, epoch)) % (2**31)).shuffle(order)
+        return order
+
+
 class TripletFineTuneDataset(TripletDataset):
     """Reference-VARFineTuneDataset semantics: frozen association."""
 

@@ -102,8 +102,8 @@ class ShmemVecEnv(VecEnv):
             self.step_wait()
         for pipe in self.parent_pipes:
             pipe.send(("reset", None))
-        acks = [pipe.recv() for pipe in self.parent_pipes]
-        del acks
+        for i, pipe in enumerate(self.parent_pipes):
+            self._recv_checked(pipe, i)
         return self._decode_obses()
 
     def step_async(self, actions):
@@ -112,8 +112,25 @@ class ShmemVecEnv(VecEnv):
             pipe.send(("step", act))
         self.waiting_step = True
 
+    def _recv_checked(self, pipe, idx, timeout: float = 300.0):
+        """recv with worker-death detection. The reference parent blocks
+        forever if a worker dies (SURVEY.md §5.3); here a dead process or a
+        timeout raises a diagnosable error instead."""
+        while not pipe.poll(1.0):
+            proc = self.procs[idx]
+            if not proc.is_alive():
+                raise RuntimeError(
+                    f"ShmemVecEnv worker {idx} died "
+                    f"(exitcode {proc.exitcode})")
+            timeout -= 1.0
+            if timeout <= 0:
+                raise TimeoutError(
+                    f"ShmemVecEnv worker {idx} unresponsive")
+        return pipe.recv()
+
     def step_wait(self):
-        outs = [pipe.recv() for pipe in self.parent_pipes]
+        outs = [self._recv_checked(pipe, i)
+                for i, pipe in enumerate(self.parent_pipes)]
         self.waiting_step = False
         _, rews, dones, infos = zip(*outs)
         obs = self._decode_obses()

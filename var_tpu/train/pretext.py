@@ -159,6 +159,52 @@ class PretextTrainer:
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_indexed(self, state: TrainState, bank_img, bank_wav,
+                            bank_len, img_idx, pos_idx, pos_zero, neg_idx,
+                            neg_zero):
+        """Device-resident-dataset step: the image set and the packed clip
+        bank live in HBM permanently; each step ships only int32 indices
+        (a few KB) instead of ~12 MB of pixels/samples — the whole batch is
+        assembled by on-device gathers, then MFCC + forward + update run as
+        one program. This is the default pretext path when the dataset fits
+        in HBM (it always does at the reference's scale: a few hundred
+        96x96 images + a few thousand 1-6 s clips)."""
+        backend = self.config.audioBackend
+        target = self.config.sound_dim[1]
+        image = jnp.take(bank_img, img_idx, axis=0)
+        pos_wav = jnp.take(bank_wav, pos_idx, axis=0)
+        neg_wav = jnp.take(bank_wav, neg_idx, axis=0)
+        pos_len = jnp.take(bank_len, pos_idx, axis=0)
+        neg_len = jnp.take(bank_len, neg_idx, axis=0)
+        pos_feat = sound_features(pos_wav, pos_len, target, self._param,
+                                  backend=backend, zero_mask=pos_zero)
+        neg_feat = sound_features(neg_wav, neg_len, target, self._param,
+                                  backend=backend, zero_mask=neg_zero)
+        loss, grads = jax.value_and_grad(self._loss_fn)(
+            state.params, image, pos_feat, neg_feat)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def _upload_dataset(self, ds):
+        """Build the device-resident dataset: images + clip bank + lengths.
+        Returns None when the dataset carries precomputed sound features."""
+        if ds.has_sound or len(ds) == 0:
+            return None
+        bank, lengths, ranges = self.audio.build_clip_bank()
+        dev = {
+            "images": jax.device_put(ds.images),
+            "wav": jax.device_put(bank),
+            "len": jax.device_put(lengths),
+            "ranges": ranges,  # host-side (index sampling happens on host)
+        }
+        if self._replicated is not None:
+            dev["images"] = jax.device_put(ds.images, self._replicated)
+            dev["wav"] = jax.device_put(bank, self._replicated)
+            dev["len"] = jax.device_put(lengths, self._replicated)
+        return dev
+
     @functools.partial(jax.jit, static_argnums=0)
     def _embed_batch(self, params, image, pos_feat):
         if image.dtype == jnp.uint8:
@@ -215,20 +261,29 @@ class PretextTrainer:
         os.makedirs(cfg.pretextModelSaveDir, exist_ok=True)
         cfg.save_json(os.path.join(cfg.pretextModelSaveDir, "config.json"))
 
+        # device-resident fast path: images + clip bank uploaded once,
+        # steps consume only indices (see _train_step_indexed)
+        bank = self._upload_dataset(ds)
+
         loss_list = []
         t0 = time.time()
         n_triplets = 0
         for ep in range(epoch):
             losses = []
-            for batch in ds.iter_epoch(batch_size, epoch=start_ep + ep,
-                                       shuffle=True, drop_last=False):
-                dev = self._device_batch(batch)
-                if batch.pos_feat is not None:
-                    self.state, loss = self._train_step_feat(self.state, *dev)
-                else:
-                    self.state, loss = self._train_step_wav(self.state, *dev)
-                losses.append(loss)
-                n_triplets += len(batch.ground_truth)
+            if bank is not None:
+                losses, n = self._run_epoch_indexed(
+                    ds, bank, batch_size, start_ep + ep)
+                n_triplets += n
+            else:
+                for batch in ds.iter_epoch(batch_size, epoch=start_ep + ep,
+                                           shuffle=True, drop_last=False):
+                    dev = self._device_batch(batch)
+                    if batch.pos_feat is not None:
+                        self.state, loss = self._train_step_feat(self.state, *dev)
+                    else:
+                        self.state, loss = self._train_step_wav(self.state, *dev)
+                    losses.append(loss)
+                    n_triplets += len(batch.ground_truth)
             avg_loss = float(np.mean([float(l) for l in losses]))
             loss_list.append(avg_loss)
             print(f"epoch {start_ep + ep}: average loss {avg_loss:.5f}")
@@ -253,6 +308,30 @@ class PretextTrainer:
         if plot:
             self.plotRepresentation(ds)
         return loss_list
+
+    def _run_epoch_indexed(self, ds, bank, batch_size: int, epoch: int):
+        """One epoch over the device-resident dataset. The last ragged batch
+        wraps around to keep step shapes static (one compiled program)."""
+        order = ds.epoch_order(epoch, shuffle=True)
+        pos_ids, pos_zero, neg_ids, neg_zero = ds.epoch_clip_ids(
+            bank["ranges"], epoch)
+        n = len(order)
+        losses = []
+        put = (lambda x: jax.device_put(x, self._batch_sharding)) \
+            if self._batch_sharding is not None else jnp.asarray
+        for start in range(0, n, batch_size):
+            idx = order[start : start + batch_size]
+            if len(idx) < batch_size:
+                idx = np.concatenate(
+                    [idx, order[: batch_size - len(idx)]])
+            self.state, loss = self._train_step_indexed(
+                self.state, bank["images"], bank["wav"], bank["len"],
+                put(idx.astype(np.int32)),
+                put(pos_ids[idx]), put(pos_zero[idx]),
+                put(neg_ids[idx]), put(neg_zero[idx]),
+            )
+            losses.append(loss)
+        return losses, n
 
     # -- data collection (reference: pretext.py:31-100) ---------------------
 
