@@ -96,6 +96,27 @@ def test_full_pipeline_arm(tmp_path):
     assert glob.glob(os.path.join(cfg.RLModelSaveDir, "test_*.csv"))
 
 
+def test_full_pipeline_ai2thor(tmp_path):
+    """The second env family end to end (CRNN encoder, occupancy obs,
+    inf-sentinel goal sounds)."""
+    from var_tpu.train.pretext import PretextTrainer
+    from var_tpu.train.rl import RLTrainer
+
+    cfg = _cfg(tmp_path, env="ai2thor")
+    cfg.override(pretextCollectNum=[2, 2, 2, 2, 4], pretextTrainBatchSize=4)
+    gym_register(cfg, env="ai2thor")
+
+    pretext = PretextTrainer(cfg)
+    pretext.collectPretextData()
+    losses = pretext.trainRepresentation(epoch=1, log_csv=False)
+    assert np.isfinite(losses).all()
+
+    rl = RLTrainer(cfg, env="ai2thor")
+    rl.load_pretext()
+    rl.trainRL(total_steps=cfg.ppoNumSteps * cfg.RLNumEnvs, log_interval=1)
+    assert os.path.isdir(os.path.join(cfg.RLModelSaveDir, "00000"))
+
+
 def test_self_improve_round(tmp_path):
     from var_tpu.train.pretext import PretextTrainer
     from var_tpu.train.self_improve import self_improve

@@ -130,6 +130,63 @@ def test_reward_wrapper_caching_and_reward(tmp_path, env_kind):
     envs.close()
 
 
+def test_fused_engine_matches_reward_wrapper(tmp_path):
+    """The fused rollout engine must reproduce the wrapper's embeddings,
+    goal cache, and raw reward exactly."""
+    from var_tpu.models.policy import build_policy
+    from var_tpu.rl.rollout import FusedRolloutEngine
+
+    cfg = _small_arm_cfg(tmp_path)
+    gym_register(cfg, env="arms")
+    model = build_pretext_model(cfg)
+    params = init_pretext_params(model, cfg, jax.random.PRNGKey(0))["params"]
+
+    # raw envs (no wrapper)
+    raw_envs = make_vec_envs(cfg.RLEnvName, seed=5, num_processes=2,
+                             gamma=None, randomCollect=True, config=cfg)
+    raw_obs = raw_envs.reset()
+
+    # wrapper path on the same raw obs
+    wrapped = VecVARReward.__new__(VecVARReward)
+    wrapped.config = cfg
+    wrapped.model = model
+    wrapped.params = params
+    wrapped.ret_norm = None
+    wrapped.num_envs = 2
+    wrapped.cached_goal_feat = np.zeros((2, 3), np.float32)
+    wrapped.processing_func = wrapped._process_arm
+    from var_tpu.utils.profiling import PhaseTimer
+
+    wrapped.timer = PhaseTimer()
+    w_obs, w_rew = wrapped._process_arm(dict(raw_obs), np.zeros(2))
+
+    # fused path
+    policy = build_policy(cfg, raw_envs.action_space)
+    engine = FusedRolloutEngine(model, params, policy, None, cfg, 2,
+                                ret_norm=False)
+    hx = jnp.zeros((2, cfg.RLRecurrentSize))
+    masks = jnp.ones((2, 1))
+    dummy = {
+        "robot_pose": jnp.asarray(raw_obs["robot_pose"].astype(np.float32)),
+        "goal_sound_feat": jnp.zeros((2, 3)),
+        "image": jnp.asarray(raw_obs["image"].astype(np.uint8)),
+        "image_feat": jnp.zeros((2, 3)),
+    }
+    pvars = policy.init(jax.random.PRNGKey(1), dummy, hx, masks, 1)
+    processed, norm_rew, raw_rew, out = engine.process_and_act(
+        pvars["params"], raw_obs, np.zeros(2), np.zeros(2, bool), hx, masks,
+        jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(processed["image_feat"], w_obs["image_feat"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(processed["goal_sound_feat"],
+                               w_obs["goal_sound_feat"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(raw_rew, w_rew, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(engine.cached_goal, wrapped.cached_goal_feat,
+                               rtol=1e-5, atol=1e-6)
+    raw_envs.close()
+
+
 def test_end_to_end_rl_training(tmp_path):
     from var_tpu.train.rl import RLTrainer
 

@@ -146,6 +146,7 @@ class AI2ThorConfig(ConfigBase):
         self.audioBackend = "gemm"
         self.simBackend = "builtin"  # 'builtin' gridworld sim | 'ithor' adapter
         self.vecEnvBackend = "auto"
+        self.fusedRollout = True
 
         self.cfg_check()
 

@@ -151,6 +151,8 @@ class ArmConfig(ConfigBase):
         self.audioBackend = "gemm"  # 'gemm' (MXU DFT matmuls) | 'fft' (jnp.fft)
         self.simBackend = "builtin"  # 'builtin' numpy sim | 'pybullet' adapter
         self.vecEnvBackend = "auto"  # 'auto'|'dummy'|'shmem'
+        # fuse VAR reward + policy act into one device call per env step
+        self.fusedRollout = True
 
         self.cfg_check()
 

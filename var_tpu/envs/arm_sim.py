@@ -248,8 +248,11 @@ class FourInARowSim(Env):
         self.ground_truth = np.int32(self.intentIdx)
 
     def gen_obs(self):
+        from var_tpu.envs.recording import save_episode_image
+
         c = self.config
         image = self.get_image()
+        save_episode_image(c, image, self.episodeCounter, self.envStepCounter)
         if self.envStepCounter == 0:
             self._setup_first_step()
         sound_positive, _, _, _, _ = self.get_positive_negative(

@@ -434,8 +434,11 @@ class GridHouseSim(Env):
         return self.gen_obs()
 
     def gen_obs(self):
+        from var_tpu.envs.recording import save_episode_image
+
         c = self.config
         image = self.get_image()
+        save_episode_image(c, image, self.episodeCounter, self.envStepCounter)
         local_occ = self.get_local_occupancy_map()
         sound_positive, _, _, _, _ = self.get_positive_negative(
             get_negative=False, generate_audio=True)

@@ -49,6 +49,14 @@ def _nchw_to_nhwc(x):
     return jnp.transpose(x, (0, 2, 3, 1))
 
 
+def _norm_img(x, dtype):
+    """Accept uint8 (raw pixels; normalized here so transfers/storage stay
+    4x smaller) or float (already in [0, 1], the reward wrapper's output)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(dtype) * (1.0 / 255.0)
+    return x.astype(dtype)
+
+
 class _PolicyGRU(nn.Module):
     """Recurrent core: orthogonal weights, zero biases (model.py:96-101)."""
 
@@ -88,28 +96,46 @@ class ArmPolicyBase(nn.Module):
     recurrent_input_size: int = 128
     recurrent_size: int = 512
     action_hidden_size: int = 128
+    img_width: int = 96  # 96 default; !=96 selects the 120x160 camera path
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obs: Dict[str, jnp.ndarray], rnn_hx, masks, seq_len: int = 1):
-        image = obs["image"].astype(self.dtype)
+        image = _norm_img(obs["image"], self.dtype)
         image_feat = obs["image_feat"]
         robot_pose = obs["robot_pose"]
         goal_sound_feat = obs["goal_sound_feat"]
 
-        # image CNN (96x96 path — reference arm_RL_model.py:21-35)
         x = _nchw_to_nhwc(image)
-        x = nn.relu(nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
-        x = nn.relu(nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))  # 48
-        x = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
-        x = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))  # 24
-        x = nn.relu(nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
-        x = nn.relu(nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))  # 12
-        x = nn.relu(nn.Conv(256, (3, 3), strides=2, padding="VALID", dtype=self.dtype)(x))  # 5
-        x = nn.relu(nn.Conv(128, (3, 3), padding="VALID", dtype=self.dtype)(x))  # 3
+        if self.img_width != 96:
+            # raw-camera path (reference arm_RL_model.py:8-19: 120x160 input)
+            x = nn.relu(nn.Conv(64, (7, 7), strides=2, padding=((1, 1), (1, 1)),
+                                dtype=self.dtype)(x))
+            x = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)),
+                                dtype=self.dtype)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.relu(nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)),
+                                dtype=self.dtype)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
+                                dtype=self.dtype)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.relu(nn.Conv(512, (3, 3), padding=((1, 1), (1, 1)),
+                                dtype=self.dtype)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        else:
+            # 96x96 path (reference arm_RL_model.py:21-35)
+            x = nn.relu(nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
+            x = nn.relu(nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))  # 48
+            x = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
+            x = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))  # 24
+            x = nn.relu(nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
+            x = nn.relu(nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))  # 12
+            x = nn.relu(nn.Conv(256, (3, 3), strides=2, padding="VALID", dtype=self.dtype)(x))  # 5
+            x = nn.relu(nn.Conv(128, (3, 3), padding="VALID", dtype=self.dtype)(x))  # 3
         x = x.reshape((x.shape[0], -1)).astype(jnp.float32)
 
         image_flatten = _mlp(x, (512, 256), "cnnMlp")
@@ -147,9 +173,9 @@ class AI2ThorPolicyBase(nn.Module):
 
     @nn.compact
     def __call__(self, obs: Dict[str, jnp.ndarray], rnn_hx, masks, seq_len: int = 1):
-        image = obs["image"].astype(self.dtype)
+        image = _norm_img(obs["image"], self.dtype)
         image_feat = obs["image_feat"]
-        occupancy = obs["occupancy"].astype(self.dtype)
+        occupancy = _norm_img(obs["occupancy"], self.dtype)
         goal_sound_feat = obs["goal_sound_feat"]
 
         x = _nchw_to_nhwc(image)
@@ -215,6 +241,7 @@ class Policy(nn.Module):
     recurrent_input_size: int = 128
     recurrent_size: int = 512
     action_hidden_size: int = 128
+    img_width: int = 96
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -229,6 +256,7 @@ class Policy(nn.Module):
         )
         if cls is ArmPolicyBase:
             kwargs["robot_state_dim"] = self.robot_state_dim
+            kwargs["img_width"] = self.img_width
         self.base = cls(**kwargs)
         self.dist_head = make_head(self.action_space)
 
@@ -281,5 +309,6 @@ def build_policy(config, action_space) -> Policy:
         recurrent_input_size=config.RLRecurrentInputSize,
         recurrent_size=config.RLRecurrentSize,
         action_hidden_size=config.RLActionHiddenSize,
+        img_width=getattr(config, "img_dim", (3, 96, 96))[-1],
         dtype=jnp.dtype(getattr(config, "computeDtype", "float32")),
     )

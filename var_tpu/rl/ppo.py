@@ -116,6 +116,11 @@ class PPO:
         params, opt_state = state.params, state.opt_state
         v_epoch = a_epoch = e_epoch = 0.0
 
+        if not self.model.recurrent:
+            # feed-forward generator: random minibatches over T*N
+            # (reference: storage.py:130-173)
+            return self._update_feed_forward(state, batch, key, advantages)
+
         for epoch in range(cfg.ppo_epoch):
             key, sub = jax.random.split(key)
             perm = jax.random.permutation(sub, N)
@@ -148,6 +153,56 @@ class PPO:
                 a_epoch += a_l
                 e_epoch += ent
 
+        num_updates = cfg.ppo_epoch * cfg.num_mini_batch
+        metrics = {
+            "value_loss": v_epoch / num_updates,
+            "action_loss": a_epoch / num_updates,
+            "dist_entropy": e_epoch / num_updates,
+        }
+        return PPOState(params, opt_state, state.step + 1), metrics
+
+    def _update_feed_forward(self, state: PPOState, batch, key, advantages):
+        """Non-recurrent path: shuffle (T*N) transitions, fixed-size random
+        minibatches, one optimizer step each (runs inside the same jit as
+        update(); reference: storage.py feed_forward_generator)."""
+        cfg = self.cfg
+        T, N = batch["returns"].shape
+        total = T * N
+        mb_size = total // cfg.num_mini_batch
+
+        def flat(x):
+            return x.reshape((total,) + x.shape[2:])
+
+        obs_flat = {k: flat(v) for k, v in batch["obs"].items()}
+        actions = flat(batch["actions"])
+        value_preds = flat(batch["value_preds"])
+        returns = flat(batch["returns"])
+        masks = flat(batch["masks"])
+        old_lp = flat(batch["old_log_probs"])
+        adv = flat(advantages)
+
+        params, opt_state = state.params, state.opt_state
+        v_epoch = a_epoch = e_epoch = 0.0
+        for epoch in range(cfg.ppo_epoch):
+            key, sub = jax.random.split(key)
+            perm = jax.random.permutation(sub, total)
+            for mb in range(cfg.num_mini_batch):
+                idx = jax.lax.dynamic_slice_in_dim(perm, mb * mb_size, mb_size)
+
+                def take(x):
+                    return jnp.take(x, idx, axis=0)
+
+                hx = jnp.zeros((mb_size, 1), jnp.float32)
+                grads_fn = jax.value_and_grad(self._minibatch_loss, has_aux=True)
+                (_, (v_l, a_l, ent)), grads = grads_fn(
+                    params, {k: take(v) for k, v in obs_flat.items()}, hx,
+                    take(masks), take(actions), take(value_preds),
+                    take(returns), take(old_lp), take(adv), 1)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                v_epoch += v_l
+                a_epoch += a_l
+                e_epoch += ent
         num_updates = cfg.ppo_epoch * cfg.num_mini_batch
         metrics = {
             "value_loss": v_epoch / num_updates,

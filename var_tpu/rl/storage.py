@@ -33,8 +33,11 @@ class RolloutStorage:
         for key, space in obs_space.items():
             if key in ignore:
                 continue
+            # keep each key's dtype (uint8 pixel keys stay uint8 -> 4x less
+            # memory and per-update transfer; the policy normalizes on device)
             self.obs[key] = np.zeros(
-                (num_steps + 1, num_processes) + tuple(space.shape), np.float32)
+                (num_steps + 1, num_processes) + tuple(space.shape),
+                space.dtype)
 
         self.recurrent_hidden_states = np.zeros(
             (num_steps + 1, num_processes, recurrent_hidden_state_size),

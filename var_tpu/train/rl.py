@@ -82,6 +82,143 @@ class RLTrainer:
 
     def trainRL(self, total_steps: Optional[int] = None,
                 log_interval: Optional[int] = None):
+        if getattr(self.config, "fusedRollout", False):
+            return self._train_fused(total_steps, log_interval)
+        return self._train_wrapped(total_steps, log_interval)
+
+    def _train_fused(self, total_steps: Optional[int] = None,
+                     log_interval: Optional[int] = None):
+        """Fused rollout: raw envs (no reward wrapper) + one device call per
+        step computing VAR reward and the policy act together
+        (var_tpu/rl/rollout.py). Also supplies next_value for free (the
+        act at obs_T is the bootstrap value)."""
+        from var_tpu.envs.vec.factory import make_vec_envs
+        from var_tpu.rl.rollout import FusedRolloutEngine
+
+        cfg = self.config
+        total_steps = int(cfg.RLTotalSteps if total_steps is None else total_steps)
+        log_interval = (cfg.RLLogInterval if log_interval is None
+                        else log_interval)
+        os.makedirs(cfg.RLModelSaveDir, exist_ok=True)
+        cfg.save_json(os.path.join(cfg.RLModelSaveDir, "config.json"))
+
+        envs = make_vec_envs(
+            env_name=cfg.RLEnvName, seed=cfg.RLEnvSeed,
+            num_processes=cfg.RLNumEnvs, gamma=None, randomCollect=True,
+            config=cfg)
+        self.policy = build_policy(cfg, envs.action_space)
+        T, N = cfg.ppoNumSteps, cfg.RLNumEnvs
+        H = self.policy.recurrent_hidden_state_size
+
+        raw_obs = envs.reset()
+        engine = FusedRolloutEngine(
+            self.pretext_model, self.pretext_params, self.policy, None,
+            cfg, N, ret_norm=True)
+        hx0 = jnp.zeros((N, H), jnp.float32)
+        masks0 = jnp.ones((N, 1), jnp.float32)
+        # init policy params against the processed obs schema
+        dummy_obs = {
+            ("robot_pose" if engine.is_arm else "occupancy"):
+                jnp.asarray(np.asarray(
+                    raw_obs["robot_pose" if engine.is_arm else "occupancy"],
+                    np.float32 if engine.is_arm else np.uint8)),
+            "goal_sound_feat": jnp.zeros((N, cfg.representationDim)),
+            "image": jnp.asarray(raw_obs["image"]),
+            "image_feat": jnp.zeros((N, cfg.representationDim)),
+        }
+        variables = self.policy.init(
+            jax.random.PRNGKey(cfg.RLEnvSeed), dummy_obs, hx0, masks0, 1)
+        if cfg.RLModelFineTune and os.path.exists(cfg.RLModelLoadDir):
+            print("Load the weights from", cfg.RLModelLoadDir)
+            variables = {"params": self.load_policy_params(cfg.RLModelLoadDir)}
+
+        self.ppo = PPO(self.policy, PPOConfig.from_config(cfg))
+        self.state = self.ppo.init_state(variables["params"])
+
+        self.rng, sub = jax.random.split(self.rng)
+        processed, _, _, out = engine.process_and_act(
+            self.state.params, raw_obs, np.zeros(N), np.ones(N, bool),
+            hx0, masks0, sub)
+        rollouts = RolloutStorage(
+            T, N, _processed_space(processed), envs.action_space, H, cfg)
+        rollouts.set_first_obs(processed)
+
+        episode_rewards = deque(maxlen=10)
+        env_rewards = np.zeros(N)
+        logger = CSVLogger(os.path.join(cfg.RLModelSaveDir, "progress.csv"))
+        start = time.time()
+        num_updates = total_steps // T // N
+
+        for j in range(num_updates):
+            for step in range(T):
+                action = np.asarray(out.action)
+                prev = out
+                with self.timer.phase("env_step"):
+                    raw_obs, env_rew, done, infos = envs.step(action)
+                masks_np = (~done).astype(np.float32)[:, None]
+                bad_masks_np = np.asarray(
+                    [[0.0] if "bad_transition" in info else [1.0]
+                     for info in infos], np.float32)
+                self.rng, sub = jax.random.split(self.rng)
+                with self.timer.phase("fused_step"):
+                    processed, norm_rew, raw_rew, out = engine.process_and_act(
+                        self.state.params, raw_obs, env_rew, done,
+                        prev.rnn_hx, jnp.asarray(masks_np), sub)
+                env_rewards = env_rewards + raw_rew
+                for index in np.where(done)[0]:
+                    episode_rewards.append(env_rewards[index])
+                    env_rewards[index] = 0.0
+                rollouts.insert(
+                    processed, np.asarray(prev.rnn_hx), action,
+                    np.asarray(prev.action_log_prob), np.asarray(prev.value),
+                    norm_rew, masks_np, bad_masks_np)
+
+            # out.value at obs_T is the bootstrap value — no extra call
+            rollouts.compute_returns(
+                np.asarray(out.value), cfg.ppoUseGAE, cfg.RLGamma,
+                cfg.ppoGAELambda, cfg.RLUseProperTimeLimits)
+            self.rng, sub = jax.random.split(self.rng)
+            with self.timer.phase("ppo_update"):
+                self.state, metrics = self.ppo.update(
+                    self.state, rollouts.device_batch(), sub)
+                jax.block_until_ready(metrics)
+            rollouts.after_update()
+
+            if (j % cfg.RLModelSaveInterval == 0 or j == num_updates - 1) \
+                    and cfg.RLModelSaveDir:
+                self.save_policy("%.5i" % j)
+
+            if j % log_interval == 0 and len(episode_rewards) > 1:
+                total_num_steps = (j + 1) * N * T
+                fps = int(total_num_steps / (time.time() - start))
+                m = {k: float(v) for k, v in metrics.items()}
+                print(
+                    f"Updates {j}, num timesteps {total_num_steps}, FPS {fps}, "
+                    f"eprewmean {np.mean(episode_rewards):.2f}, "
+                    f"entropy {m['dist_entropy']:.3f}")
+                logger.log({
+                    "misc/nupdates": j,
+                    "misc/total_timesteps": total_num_steps,
+                    "fps": fps,
+                    "eprewmean": float(np.mean(episode_rewards)),
+                    "min": float(np.min(episode_rewards)),
+                    "max": float(np.max(episode_rewards)),
+                    "loss/policy_entropy": m["dist_entropy"],
+                    "loss/policy_loss": m["action_loss"],
+                    "loss/value_loss": m["value_loss"],
+                    "perf/fused_step_ms": round(
+                        self.timer.p50_ms("fused_step"), 3),
+                    "perf/env_step_ms": round(
+                        self.timer.p50_ms("env_step"), 3),
+                    "perf/ppo_update_ms": round(
+                        self.timer.p50_ms("ppo_update"), 3),
+                })
+
+        envs.close()
+        return self.state
+
+    def _train_wrapped(self, total_steps: Optional[int] = None,
+                       log_interval: Optional[int] = None):
         cfg = self.config
         total_steps = int(cfg.RLTotalSteps if total_steps is None else total_steps)
         log_interval = (cfg.RLLogInterval if log_interval is None

@@ -1,0 +1,71 @@
+"""Key-value metrics logger with the baselines logkv/dumpkvs API.
+
+Working replacement of the reference's vendored (dead) baselines logger
+(reference: Envs/vec_env/logger.py:19-470): accumulate key->value pairs,
+dump to any combination of human-readable stdout, CSV, and JSONL writers,
+plus a profile_kv timing context.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+
+class KVLogger:
+    def __init__(self, log_dir: Optional[str] = None,
+                 formats: List[str] = ("stdout",)):
+        self.kvs: Dict[str, float] = {}
+        self.counts: Dict[str, int] = defaultdict(int)
+        self.formats = list(formats)
+        self.log_dir = log_dir
+        self._csv_keys: Optional[List[str]] = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+
+    def logkv(self, key: str, val):
+        self.kvs[key] = val
+
+    def logkv_mean(self, key: str, val):
+        n = self.counts[key]
+        old = self.kvs.get(key, 0.0)
+        self.kvs[key] = (old * n + val) / (n + 1)
+        self.counts[key] = n + 1
+
+    def dumpkvs(self) -> Dict[str, float]:
+        out = dict(self.kvs)
+        if "stdout" in self.formats and out:
+            width = max(len(k) for k in out)
+            print("-" * (width + 24))
+            for k in sorted(out):
+                v = out[k]
+                vs = f"{v:.5g}" if isinstance(v, float) else str(v)
+                print(f"| {k.ljust(width)} | {vs.ljust(16)} |")
+            print("-" * (width + 24))
+        if self.log_dir:
+            if "json" in self.formats:
+                with open(os.path.join(self.log_dir, "progress.jsonl"), "a") as f:
+                    f.write(json.dumps(out, default=float) + "\n")
+            if "csv" in self.formats:
+                path = os.path.join(self.log_dir, "progress_kv.csv")
+                if self._csv_keys is None:
+                    self._csv_keys = sorted(out)
+                    with open(path, "a") as f:
+                        f.write(",".join(self._csv_keys) + "\n")
+                with open(path, "a") as f:
+                    f.write(",".join(str(out.get(k, "")) for k in
+                                     self._csv_keys) + "\n")
+        self.kvs.clear()
+        self.counts.clear()
+        return out
+
+    @contextlib.contextmanager
+    def profile_kv(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.logkv_mean(f"wait_{name}", time.time() - t0)
