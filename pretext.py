@@ -3,16 +3,16 @@
 
 Mirrors the reference `python pretext.py` (reference: pretext.py:331-335):
 behavior is selected by the active config profile's booleans
-(pretextCollection / pretextTrain / ...). The active env profile comes
-from var_tpu.config.ENV (override with VAR_TPU_ENV=arms|ai2thor).
+(pretextCollection / pretextTrain / ...). The env profile comes from
+--env / VAR_TPU_ENV; any knob can be overridden with --set KNOB=VALUE.
 """
-from var_tpu.config import main_config
+from var_tpu.cli import build_config, parse_args
 from var_tpu.train.pretext import PretextTrainer
 
 
-def main():
-    config = main_config()
-    config.pretext_RL = "pretext"
+def main(argv=None):
+    args = parse_args(argv, description=__doc__)
+    config = build_config(args, role="pretext")
     trainer = PretextTrainer(config)
     trainer.run()
 

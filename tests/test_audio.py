@@ -151,6 +151,16 @@ def test_zero_mask_produces_zero_features():
     assert np.all(out[1] == 0)
 
 
+def test_numpy_host_backend_matches_device_path():
+    params = audio.PARAM_TABLE["GoogleCommand"]
+    rng = np.random.RandomState(7)
+    wav = (rng.randn(12345) * 0.3).astype(np.float32)
+    a = audio._mfcc_numpy(wav, params)
+    b = np.asarray(audio.mfcc_batch(jnp.asarray(wav[None]), params,
+                                    backend="fft"))[0]
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
 def test_int16_scaling_matches_reference():
     # reference: audioSamples / 32768. (Envs/audioLoader.py:152-153)
     params = audio.PARAM_TABLE["GoogleCommand"]

@@ -45,7 +45,9 @@ def gym_register(config, env: str = None):
     from var_tpu.envs import make_entry_points
     from var_tpu.envs.core import register
 
-    env = ENV if env is None else env
+    if env is None:
+        # derive from the profile itself so --env overrides propagate
+        env = "arms" if config.name == "ArmConfig" else "ai2thor"
     pretext_ep, rl_ep = make_entry_points(config, env)
     register(f"{env}-pretext-v2", pretext_ep, config=config)
     register(f"{env}-RL-v2", rl_ep, config=config)

@@ -39,8 +39,10 @@ class ConfigBase:
 
     def __setattr__(self, name, value):
         # 'taskNum' is legitimately recomputed when the env config is spliced
-        # in (reference: cfg.py:90-99).
-        if self._warn_reassign and name in self.__dict__ and name != "taskNum":
+        # in (reference: cfg.py:90-99); 'pretext_RL' when an entry point
+        # declares its role.
+        if (self._warn_reassign and name in self.__dict__
+                and name not in ("taskNum", "pretext_RL")):
             self.print(
                 f"Reassignment of {name} to {value}", printColor.WARNING
             )

@@ -248,7 +248,7 @@ class AudioStore:
         return clip, self.param_dict[ds], ds
 
     def genSoundFeat(self, intentIdx: int, featType: str, rand_fn,
-                     backend: str = "fft"):
+                     backend: str = "numpy"):
         """(reference: Envs/audioLoader.py:187-199). Returns
         ((1, T, 40) feature, raw clip)."""
         if featType != "MFCC":
@@ -268,7 +268,8 @@ class AudioStore:
         act = sorted(set(obj_act).intersection(syn[tsk.act]))[0]
         return loc, obj, act
 
-    def getAudioFromTask(self, random_func, tsk, TaskCls=None, backend: str = "fft"):
+    def getAudioFromTask(self, random_func, tsk, TaskCls=None,
+                         backend: str = "numpy"):
         """(reference: Envs/audioLoader.py:223-237). Returns
         (feature (1,T,40), clip, transcription)."""
         loc, obj, act = self._resolve_task(tsk, random_func)

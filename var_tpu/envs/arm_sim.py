@@ -255,8 +255,15 @@ class FourInARowSim(Env):
         save_episode_image(c, image, self.episodeCounter, self.envStepCounter)
         if self.envStepCounter == 0:
             self._setup_first_step()
-        sound_positive, _, _, _, _ = self.get_positive_negative(
-            get_negative=False)
+        # current_sound is consumed only by the sound-sound reward term and
+        # render playback (reference: vec_pretext_normalize.py:84,
+        # RLObsIgnore drops it from the policy); skip the per-step MFCC
+        # otherwise.
+        if c.RLRewardSoundSound or c.render:
+            sound_positive, _, _, _, _ = self.get_positive_negative(
+                get_negative=False)
+        else:
+            sound_positive = np.zeros(c.sound_dim, np.float32)
         return OrderedDict(
             [
                 ("image", np.transpose(image, (2, 0, 1))),

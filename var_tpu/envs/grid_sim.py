@@ -440,8 +440,12 @@ class GridHouseSim(Env):
         image = self.get_image()
         save_episode_image(c, image, self.episodeCounter, self.envStepCounter)
         local_occ = self.get_local_occupancy_map()
-        sound_positive, _, _, _, _ = self.get_positive_negative(
-            get_negative=False, generate_audio=True)
+        # per-step current_sound only when something consumes it (see arm_sim)
+        if c.RLRewardSoundSound or c.render:
+            sound_positive, _, _, _, _ = self.get_positive_negative(
+                get_negative=False, generate_audio=True)
+        else:
+            sound_positive = np.zeros(c.sound_dim, np.float32)
         if self.envStepCounter == 0:
             self.goal_sound, _, self.transcription = self.audio.getAudioFromTask(
                 self.np_random, self.task, Task)

@@ -323,7 +323,30 @@ def sound_features(
     return feats[:, None, :, :]  # (B, 1, T, 40)
 
 
-def mfcc_single(wav: np.ndarray, params: STFTParams, backend: str = "fft") -> np.ndarray:
+def _mfcc_numpy(wav: np.ndarray, params: STFTParams) -> np.ndarray:
+    """Pure-numpy single-clip MFCC (identical math to the device paths).
+
+    Host env workers call this per episode; keeping it off the accelerator
+    avoids a device round-trip (and a fresh trace per clip length) for a
+    sub-millisecond computation.
+    """
+    n_fft, _, hop, _ = params
+    w_cos, w_sin, mel, dct, _, off = _frontend_constants(params, "float32")
+    L = wav.shape[0]
+    T = int(num_frames(L, hop))
+    padded = np.pad(wav, (n_fft // 2, n_fft // 2), mode="reflect")
+    x = padded[off:]
+    win = w_cos.shape[0]
+    idx = (np.arange(T) * hop)[:, None] + np.arange(win)[None, :]
+    frames = x[idx]  # (T, win)
+    re = frames @ w_cos
+    im = frames @ w_sin
+    power = re * re + im * im
+    return np.log(power @ mel + LOG_EPS) @ dct
+
+
+def mfcc_single(wav: np.ndarray, params: STFTParams,
+                backend: str = "numpy") -> np.ndarray:
     """Convenience single-clip MFCC -> (frames, 40) numpy (host callers).
 
     Matches audioLoader.get_mfcc output orientation
@@ -332,8 +355,10 @@ def mfcc_single(wav: np.ndarray, params: STFTParams, backend: str = "fft") -> np
     wav = np.asarray(wav)
     if wav.dtype == np.int16:
         wav = (wav / 32768.0).astype(np.float32)
-    wav = wav.astype(np.float32)[None, :]
-    out = mfcc_batch(jnp.asarray(wav), params, backend=backend)
+    wav = wav.astype(np.float32)
+    if backend == "numpy":
+        return _mfcc_numpy(wav, params)
+    out = mfcc_batch(jnp.asarray(wav[None, :]), params, backend=backend)
     return np.asarray(out[0])
 
 

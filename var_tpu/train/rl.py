@@ -88,12 +88,13 @@ class RLTrainer:
 
     def _train_fused(self, total_steps: Optional[int] = None,
                      log_interval: Optional[int] = None):
-        """Fused rollout: raw envs (no reward wrapper) + one device call per
-        step computing VAR reward and the policy act together
-        (var_tpu/rl/rollout.py). Also supplies next_value for free (the
-        act at obs_T is the bootstrap value)."""
+        """Device-resident rollout training: the fused step program writes
+        the whole rollout into donated device buffers; the host reads back
+        only one packed (action, raw reward) array per env step, and the
+        PPO update consumes the buffers with zero re-upload
+        (var_tpu/rl/rollout_device.py)."""
         from var_tpu.envs.vec.factory import make_vec_envs
-        from var_tpu.rl.rollout import FusedRolloutEngine
+        from var_tpu.rl.rollout_device import DeviceRolloutEngine
 
         cfg = self.config
         total_steps = int(cfg.RLTotalSteps if total_steps is None else total_steps)
@@ -110,38 +111,44 @@ class RLTrainer:
         T, N = cfg.ppoNumSteps, cfg.RLNumEnvs
         H = self.policy.recurrent_hidden_state_size
 
+        from var_tpu.envs import spaces as S
+
+        is_arm = cfg.name == "ArmConfig"
+        extra_key = "robot_pose" if is_arm else "occupancy"
         raw_obs = envs.reset()
-        engine = FusedRolloutEngine(
-            self.pretext_model, self.pretext_params, self.policy, None,
-            cfg, N, ret_norm=True)
-        hx0 = jnp.zeros((N, H), jnp.float32)
-        masks0 = jnp.ones((N, 1), jnp.float32)
-        # init policy params against the processed obs schema
+        extra0 = np.asarray(raw_obs[extra_key])
+        if isinstance(envs.action_space, S.Discrete):
+            action_shape, action_dtype = (1,), jnp.int32
+        else:
+            action_shape = envs.action_space.shape
+            action_dtype = jnp.float32
+
+        engine = DeviceRolloutEngine(
+            self.pretext_model, self.pretext_params, self.policy, cfg,
+            T, N, extra_key, extra0.shape[1:],
+            jnp.float32 if is_arm else jnp.uint8,
+            action_shape, action_dtype, gamma=cfg.RLGamma)
+
         dummy_obs = {
-            ("robot_pose" if engine.is_arm else "occupancy"):
-                jnp.asarray(np.asarray(
-                    raw_obs["robot_pose" if engine.is_arm else "occupancy"],
-                    np.float32 if engine.is_arm else np.uint8)),
+            extra_key: jnp.asarray(
+                extra0.astype(np.float32) if is_arm else extra0),
             "goal_sound_feat": jnp.zeros((N, cfg.representationDim)),
             "image": jnp.asarray(raw_obs["image"]),
             "image_feat": jnp.zeros((N, cfg.representationDim)),
         }
         variables = self.policy.init(
-            jax.random.PRNGKey(cfg.RLEnvSeed), dummy_obs, hx0, masks0, 1)
+            jax.random.PRNGKey(cfg.RLEnvSeed), dummy_obs,
+            jnp.zeros((N, H)), jnp.ones((N, 1)), 1)
         if cfg.RLModelFineTune and os.path.exists(cfg.RLModelLoadDir):
             print("Load the weights from", cfg.RLModelLoadDir)
             variables = {"params": self.load_policy_params(cfg.RLModelLoadDir)}
 
         self.ppo = PPO(self.policy, PPOConfig.from_config(cfg))
         self.state = self.ppo.init_state(variables["params"])
+        engine.set_policy_params(self.state.params)
 
         self.rng, sub = jax.random.split(self.rng)
-        processed, _, _, out = engine.process_and_act(
-            self.state.params, raw_obs, np.zeros(N), np.ones(N, bool),
-            hx0, masks0, sub)
-        rollouts = RolloutStorage(
-            T, N, _processed_space(processed), envs.action_space, H, cfg)
-        rollouts.set_first_obs(processed)
+        action = engine.init(raw_obs, sub)
 
         episode_rewards = deque(maxlen=10)
         env_rewards = np.zeros(N)
@@ -151,38 +158,28 @@ class RLTrainer:
 
         for j in range(num_updates):
             for step in range(T):
-                action = np.asarray(out.action)
-                prev = out
                 with self.timer.phase("env_step"):
                     raw_obs, env_rew, done, infos = envs.step(action)
-                masks_np = (~done).astype(np.float32)[:, None]
                 bad_masks_np = np.asarray(
-                    [[0.0] if "bad_transition" in info else [1.0]
+                    [0.0 if "bad_transition" in info else 1.0
                      for info in infos], np.float32)
                 self.rng, sub = jax.random.split(self.rng)
                 with self.timer.phase("fused_step"):
-                    processed, norm_rew, raw_rew, out = engine.process_and_act(
-                        self.state.params, raw_obs, env_rew, done,
-                        prev.rnn_hx, jnp.asarray(masks_np), sub)
+                    action, raw_rew = engine.step(
+                        step, raw_obs, env_rew, done, bad_masks_np, sub)
                 env_rewards = env_rewards + raw_rew
                 for index in np.where(done)[0]:
                     episode_rewards.append(env_rewards[index])
                     env_rewards[index] = 0.0
-                rollouts.insert(
-                    processed, np.asarray(prev.rnn_hx), action,
-                    np.asarray(prev.action_log_prob), np.asarray(prev.value),
-                    norm_rew, masks_np, bad_masks_np)
 
-            # out.value at obs_T is the bootstrap value — no extra call
-            rollouts.compute_returns(
-                np.asarray(out.value), cfg.ppoUseGAE, cfg.RLGamma,
-                cfg.ppoGAELambda, cfg.RLUseProperTimeLimits)
+            engine.compute_returns(cfg.ppoUseGAE, cfg.RLGamma,
+                                   cfg.ppoGAELambda, cfg.RLUseProperTimeLimits)
             self.rng, sub = jax.random.split(self.rng)
             with self.timer.phase("ppo_update"):
                 self.state, metrics = self.ppo.update(
-                    self.state, rollouts.device_batch(), sub)
-                jax.block_until_ready(metrics)
-            rollouts.after_update()
+                    self.state, engine.device_batch(), sub)
+                engine.set_policy_params(self.state.params)
+            engine.after_update()
 
             if (j % cfg.RLModelSaveInterval == 0 or j == num_updates - 1) \
                     and cfg.RLModelSaveDir:
