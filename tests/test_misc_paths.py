@@ -1,0 +1,135 @@
+"""bfloat16 compute path, goal-cache reuse, checkpoint resume."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from var_tpu.config import main_config
+from var_tpu.models.encoders import VARPretextNet, init_pretext_params
+from var_tpu.models.policy import act, build_policy
+
+
+def test_bfloat16_encoders_finite_and_close():
+    model32 = VARPretextNet(variant="arm", representation_dim=3,
+                            dtype=jnp.float32)
+    model16 = VARPretextNet(variant="arm", representation_dim=3,
+                            dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(4, 3, 96, 96).astype(np.float32))
+    snd = jnp.asarray(rng.randn(4, 1, 100, 40).astype(np.float32))
+    p = model32.init(jax.random.PRNGKey(0), img, snd, snd)
+    out32 = model32.apply(p, img, snd, snd)
+    out16 = model16.apply(p, img, snd, snd)
+    for k in ("image_feat", "sound_feat_positive"):
+        a, b = np.asarray(out32[k]), np.asarray(out16[k])
+        assert np.isfinite(b).all()
+        # unit sphere outputs stay close under bf16 conv compute
+        assert np.abs(a - b).max() < 0.1
+
+
+def test_bfloat16_policy_act():
+    cfg = main_config(env="arms")
+    cfg.override(computeDtype="bfloat16", RLRecurrentSize=32,
+                 RLRecurrentInputSize=16)
+    from var_tpu.envs.spaces import Box
+
+    policy = build_policy(cfg, Box(low=-np.ones(2), high=np.ones(2)))
+    rng = np.random.RandomState(1)
+    obs = {
+        "image": jnp.asarray((rng.rand(2, 3, 96, 96) * 255).astype(np.uint8)),
+        "image_feat": jnp.asarray(rng.randn(2, 3).astype(np.float32)),
+        "robot_pose": jnp.asarray(rng.randn(2, 2).astype(np.float32)),
+        "goal_sound_feat": jnp.asarray(rng.randn(2, 3).astype(np.float32)),
+    }
+    hx = jnp.zeros((2, 32))
+    masks = jnp.ones((2, 1))
+    v = policy.init(jax.random.PRNGKey(0), obs, hx, masks, 1)
+    step = act(policy, v, obs, hx, masks, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(step.value)).all()
+    assert np.isfinite(np.asarray(step.action)).all()
+
+
+def test_goal_cache_reused_across_inf_steps(tmp_path):
+    """Wrapper semantics: a fresh goal at step 0 populates the cache; inf
+    sentinels afterwards must reuse it without calling the sound encoder."""
+    from var_tpu.models.encoders import build_pretext_model
+    from var_tpu.rl.reward import VecVARReward
+
+    cfg = main_config(env="arms")
+    model = build_pretext_model(cfg)
+    params = init_pretext_params(model, cfg, jax.random.PRNGKey(0))["params"]
+    w = VecVARReward.__new__(VecVARReward)
+    w.config = cfg
+    w.model = model
+    w.params = params
+    w.ret_norm = None
+    w.num_envs = 2
+    w.cached_goal_feat = np.zeros((2, 3), np.float32)
+    w.processing_func = w._process_arm
+    from var_tpu.utils.profiling import PhaseTimer
+
+    w.timer = PhaseTimer()
+
+    rng = np.random.RandomState(0)
+    obs0 = {
+        "image": (rng.rand(2, 3, 96, 96) * 255).astype(np.uint8),
+        "goal_sound": rng.randn(2, 1, 100, 40).astype(np.float32),
+        "robot_pose": rng.randn(2, 2).astype(np.float32),
+    }
+    _ = w._process_arm(obs0, np.zeros(2))
+    cache_after_0 = w.cached_goal_feat.copy()
+    assert np.any(cache_after_0 != 0)
+
+    obs1 = dict(obs0)
+    obs1["goal_sound"] = np.full((2, 1, 100, 40), np.inf, np.float32)
+    obs1["image"] = (rng.rand(2, 3, 96, 96) * 255).astype(np.uint8)
+    s1, _ = w._process_arm(obs1, np.zeros(2))
+    np.testing.assert_array_equal(w.cached_goal_feat, cache_after_0)
+    np.testing.assert_array_equal(s1["goal_sound_feat"], cache_after_0)
+
+
+def test_checkpoint_resume_with_optimizer_state(tmp_path):
+    """Full resume: params + opt_state round-trip through Orbax, and
+    training continues from the restored state."""
+    import optax
+
+    from var_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from var_tpu.train.pretext import TrainState, make_optimizer
+
+    cfg = main_config(env="arms")
+    model = VARPretextNet(variant="arm", representation_dim=3)
+    img = jnp.zeros((1, 3, 96, 96))
+    snd = jnp.zeros((1, 1, 100, 40))
+    params = model.init(jax.random.PRNGKey(0), img, snd, snd)["params"]
+    tx = make_optimizer(cfg, steps_per_epoch=5)
+    state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+
+    # take one step so moments are non-trivial
+    g = jax.tree_util.tree_map(lambda x: jnp.ones_like(x) * 0.01, params)
+    updates, opt_state = tx.update(g, state.opt_state, state.params)
+    params2 = optax.apply_updates(state.params, updates)
+    state = TrainState(params2, opt_state, state.step + 1)
+
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(path, {"params": state.params,
+                           "opt_state": state.opt_state,
+                           "step": np.asarray(state.step)})
+    # structured restore: pass a target so optax NamedTuple states come
+    # back with their original structure, not as plain dicts
+    target = {"params": params, "opt_state": tx.init(params),
+              "step": np.asarray(0)}
+    restored = load_checkpoint(path, target=target)
+    assert int(np.asarray(restored["step"])) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored["opt_state"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # continuing a step from the restored state works
+    updates2, _ = tx.update(g, restored["opt_state"], restored["params"])
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(updates2))

@@ -17,6 +17,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host initialization (DCN between hosts, ICI within).
+
+    The reference has no multi-host story at all; here a multi-host launch
+    is `jax.distributed.initialize` + the same mesh/sharding code — the
+    global device list then spans hosts and batch shards ride DCN only at
+    the host boundary. No-op when launched single-host (TPU pods set the
+    coordinator via environment variables automatically)."""
+    import jax
+
+    if num_processes is None and coordinator_address is None:
+        return  # single-host
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def build_mesh(mesh_shape: Optional[Dict[str, int]] = None,
                devices=None) -> Mesh:
     """Build a Mesh from {'dp': n, ...}. Default: all devices on one 'dp'
