@@ -74,25 +74,33 @@ def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 50):
     d_len = jax.device_put(bank_len)
     N = len(images)
 
-    def step(state, i):
-        idx = rng.randint(0, N, size=BATCH).astype(np.int32)
-        pos_ids, pos_zero = audio.sample_clip_ids(gts[idx], ranges, rng)
-        neg_ids, neg_zero = audio.sample_clip_ids(sns[idx], ranges, rng)
-        return trainer._train_step_indexed(
-            state, d_img, d_wav, d_len, jnp.asarray(idx),
-            jnp.asarray(pos_ids), jnp.asarray(pos_zero),
-            jnp.asarray(neg_ids), jnp.asarray(neg_zero))
+    def epoch_indices(S):
+        """Host index sampling for S steps (included in the measurement)."""
+        idx = rng.randint(0, N, size=(S, BATCH)).astype(np.int32)
+        pos_ids, pos_zero = audio.sample_clip_ids(
+            gts[idx.ravel()], ranges, rng)
+        neg_ids, neg_zero = audio.sample_clip_ids(
+            sns[idx.ravel()], ranges, rng)
+        sh = (S, BATCH)
+        return (jnp.asarray(idx), jnp.asarray(pos_ids.reshape(sh)),
+                jnp.asarray(pos_zero.reshape(sh)),
+                jnp.asarray(neg_ids.reshape(sh)),
+                jnp.asarray(neg_zero.reshape(sh)))
 
-    for i in range(warmup):
-        state, loss = step(state, i)
-    loss.block_until_ready()
+    S = 32  # steps per scanned epoch program
+    # warmup/compile
+    state, losses = trainer._train_epoch_scan(
+        state, d_img, d_wav, d_len, *epoch_indices(S))
+    losses.block_until_ready()
 
     t0 = time.perf_counter()
-    for i in range(iters):
-        state, loss = step(state, i)
-    loss.block_until_ready()
+    epochs = max(1, iters // S)
+    for _ in range(epochs):
+        state, losses = trainer._train_epoch_scan(
+            state, d_img, d_wav, d_len, *epoch_indices(S))
+    losses.block_until_ready()
     dt = time.perf_counter() - t0
-    return BATCH * iters / dt
+    return BATCH * S * epochs / dt
 
 
 def bench_torch_cpu(cfg, audio, batches, iters: int = 2):

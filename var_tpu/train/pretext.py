@@ -187,6 +187,41 @@ class PretextTrainer:
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_epoch_scan(self, state: TrainState, bank_img, bank_wav,
+                          bank_len, img_idx, pos_idx, pos_zero, neg_idx,
+                          neg_zero):
+        """An ENTIRE epoch as one lax.scan over steps.
+
+        Index arrays are (S, B); the scan body is the indexed train step, so
+        the host uploads one small index block per epoch and dispatches one
+        program — no per-step Python, no per-step transfers. Compiles once
+        (S fixed per dataset), reused every epoch. Returns per-step losses
+        (S,)."""
+        backend = self.config.audioBackend
+        target = self.config.sound_dim[1]
+
+        def body(state, idxs):
+            i_img, i_pos, z_pos, i_neg, z_neg = idxs
+            image = jnp.take(bank_img, i_img, axis=0)
+            pos_feat = sound_features(
+                jnp.take(bank_wav, i_pos, axis=0),
+                jnp.take(bank_len, i_pos, axis=0), target, self._param,
+                backend=backend, zero_mask=z_pos)
+            neg_feat = sound_features(
+                jnp.take(bank_wav, i_neg, axis=0),
+                jnp.take(bank_len, i_neg, axis=0), target, self._param,
+                backend=backend, zero_mask=z_neg)
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                state.params, image, pos_feat, neg_feat)
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        return jax.lax.scan(
+            body, state, (img_idx, pos_idx, pos_zero, neg_idx, neg_zero))
+
     def _upload_dataset(self, ds):
         """Build the device-resident dataset: images + clip bank + lengths.
         Returns None when the dataset carries precomputed sound features."""
@@ -310,28 +345,33 @@ class PretextTrainer:
         return loss_list
 
     def _run_epoch_indexed(self, ds, bank, batch_size: int, epoch: int):
-        """One epoch over the device-resident dataset. The last ragged batch
-        wraps around to keep step shapes static (one compiled program)."""
+        """One epoch over the device-resident dataset, executed as a single
+        scanned program (_train_epoch_scan). The last ragged batch wraps
+        around so all steps share one static shape."""
         order = ds.epoch_order(epoch, shuffle=True)
         pos_ids, pos_zero, neg_ids, neg_zero = ds.epoch_clip_ids(
             bank["ranges"], epoch)
         n = len(order)
-        losses = []
-        put = (lambda x: jax.device_put(x, self._batch_sharding)) \
-            if self._batch_sharding is not None else jnp.asarray
-        for start in range(0, n, batch_size):
-            idx = order[start : start + batch_size]
-            if len(idx) < batch_size:
-                idx = np.concatenate(
-                    [idx, order[: batch_size - len(idx)]])
-            self.state, loss = self._train_step_indexed(
-                self.state, bank["images"], bank["wav"], bank["len"],
-                put(idx.astype(np.int32)),
-                put(pos_ids[idx]), put(pos_zero[idx]),
-                put(neg_ids[idx]), put(neg_zero[idx]),
-            )
-            losses.append(loss)
-        return losses, n
+        steps = max(1, -(-n // batch_size))
+        reps = -(-(steps * batch_size) // max(1, n))
+        padded = np.tile(order, reps + 1)[: steps * batch_size]
+        idx = padded.reshape(steps, batch_size).astype(np.int32)
+
+        def put(x):
+            if self._batch_sharding is not None:
+                import jax.sharding as shd
+
+                s = shd.NamedSharding(
+                    self._mesh, shd.PartitionSpec(None, "dp"))
+                return jax.device_put(x, s)
+            return jnp.asarray(x)
+
+        self.state, losses = self._train_epoch_scan(
+            self.state, bank["images"], bank["wav"], bank["len"],
+            put(idx), put(pos_ids[idx]), put(pos_zero[idx]),
+            put(neg_ids[idx]), put(neg_zero[idx]),
+        )
+        return list(np.asarray(losses)), n
 
     # -- data collection (reference: pretext.py:31-100) ---------------------
 
