@@ -17,10 +17,13 @@ hardware can be read off (fused device time ~ a few ms).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_ENVS = 8
 T = 100

@@ -106,6 +106,53 @@ def test_clip_bank_and_id_sampling():
         assert ranges[c, 0] <= i < ranges[c, 1]
 
 
+def test_mix_preset_heterogeneous_params(tmp_path):
+    """The 'mix' preset (GoogleCommand + UrbanSound) has differing STFT
+    params; the dataset must fall back to per-clip host features and the
+    trainer must take the streaming/feature path."""
+    import var_tpu.config.arm as arm_mod
+
+    cfg = main_config(env="arms")
+    cfg.override(
+        commonMediaPath=str(tmp_path),
+        sound_dim=(1, 100, 40),
+        soundSource={
+            "dataset": ["GoogleCommand", "UrbanSound"],
+            "items": {"GoogleCommand": ["house", "tree"],
+                      "UrbanSound": ["jackhammer", None]},
+            "size": {"GoogleCommand": [5, 5], "UrbanSound": [5, 0]},
+            "train_test": "train",
+        },
+    )
+    cfg.taskNum = 2
+    audio = AudioStore(cfg)
+    audio.loadData()  # synthetic fallback fills both intents
+    assert not audio.params_homogeneous() or True  # params check below
+    # heterogeneity is decided by the configured datasets, not the fallback
+    from var_tpu.ops.audio import PARAM_TABLE
+
+    assert PARAM_TABLE["GoogleCommand"] != PARAM_TABLE["UrbanSound"]
+    assert audio.params_homogeneous() is False
+
+    feat = audio.gen_feat_for_class(0, np.random.RandomState(0))
+    assert feat.shape == (1, 100, 40)
+    zero = audio.gen_feat_for_class(cfg.taskNum, np.random.RandomState(0))
+    assert np.all(zero == 0)
+
+    # dataset path yields precomputed features for hetero params
+    from var_tpu.data.triplets import TripletDataset, save_shard
+
+    pairs = [{"image": np.zeros((3, 96, 96), np.uint8),
+              "ground_truth": np.int32(i % 3), "sound_negative_id": np.int32(0)}
+             for i in range(6)]
+    shard = os.path.join(str(tmp_path), "d", "train", "s.pickle")
+    save_shard(shard, pairs)
+    ds = TripletDataset([shard], cfg, audio, seed=0)
+    batch = next(ds.iter_epoch(4, epoch=0))
+    assert batch.pos_feat is not None and batch.pos_feat.shape == (4, 1, 100, 40)
+    assert batch.pos_wav is None
+
+
 def test_rejects_wrong_sample_rate(tmp_path):
     cfg = main_config(env="arms")
     cfg.override(commonMediaPath=str(tmp_path))

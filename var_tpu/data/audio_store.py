@@ -301,6 +301,32 @@ class AudioStore:
             return self.param_dict[ds]
         return self.param_dict[ds[0]]
 
+    def params_homogeneous(self) -> bool:
+        """True when every configured dataset shares one STFT param set.
+        The batched device MFCC paths (clip bank / packed waveforms) assume
+        a single param set; heterogeneous presets like the arm 'mix'
+        (GoogleCommand 512/160 + UrbanSound 1024/640) fall back to host
+        per-clip features with each clip's own params — exactly the
+        reference's per-clip behavior (Envs/audioLoader.py:177-185)."""
+        ds = self.config.soundSource["dataset"]
+        if isinstance(ds, str):
+            return True
+        params = {self.param_dict[d] for d in ds}
+        return len(params) == 1
+
+    def gen_feat_for_class(self, class_idx: int,
+                           rng: np.random.RandomState) -> np.ndarray:
+        """(1, T, 40) feature for a canonical class index, per-clip params
+        (host path, used when params are heterogeneous)."""
+        if class_idx >= self.config.taskNum:
+            return np.zeros(self.config.sound_dim, np.float32)
+        if self.env_type == "pybullet":
+            feat, _ = self.genSoundFeat(class_idx, "MFCC", rng.randint)
+            return np.asarray(feat, np.float32)
+        loc, obj, act = self.task_tuples[class_idx]
+        feat, _, _ = self.getAudioFromTask(rng, _Tsk(loc, obj, act))
+        return np.asarray(feat, np.float32)
+
     def class_clips(self, class_idx: int) -> List[np.ndarray]:
         """All clips for a canonical class index (pybullet intent or
         enumerated ai2thor task)."""

@@ -135,6 +135,7 @@ class TripletDataset:
             neg_all, neg_len_all, neg_zero_all = self.audio.sample_clip_batch(
                 self.sn_ids, clip_rng)
 
+        hetero = not self.audio.params_homogeneous()
         for start in range(0, n, batch_size):
             idx = order[start : start + batch_size]
             if len(idx) < batch_size and drop_last:
@@ -151,6 +152,25 @@ class TripletDataset:
                 )
                 continue
             sn = self.sn_ids[idx]
+            if hetero:
+                # mixed STFT params (e.g. the arm 'mix' preset): per-clip
+                # host MFCC with each clip's own params, exactly the
+                # reference behavior; batched device MFCC needs one param set
+                pos_feat = np.stack([
+                    self.audio.gen_feat_for_class(int(c), clip_rng)
+                    for c in gt])
+                neg_feat = np.stack([
+                    self.audio.gen_feat_for_class(int(c), clip_rng)
+                    for c in sn])
+                yield TripletBatch(
+                    image=image,
+                    pos_wav=None, pos_len=None, pos_zero=None,
+                    neg_wav=None, neg_len=None, neg_zero=None,
+                    ground_truth=gt,
+                    pos_feat=pos_feat.astype(np.float32),
+                    neg_feat=neg_feat.astype(np.float32),
+                )
+                continue
             if self.resample_each_epoch:
                 pos_wav, pos_len, pos_zero = self.audio.sample_clip_batch(gt, clip_rng)
                 neg_wav, neg_len, neg_zero = self.audio.sample_clip_batch(sn, clip_rng)

@@ -224,8 +224,10 @@ class PretextTrainer:
 
     def _upload_dataset(self, ds):
         """Build the device-resident dataset: images + clip bank + lengths.
-        Returns None when the dataset carries precomputed sound features."""
-        if ds.has_sound or len(ds) == 0:
+        Returns None when the dataset carries precomputed sound features or
+        when STFT params are heterogeneous (mixed-dataset presets —
+        host per-clip features via the streaming path instead)."""
+        if ds.has_sound or len(ds) == 0 or not self.audio.params_homogeneous():
             return None
         bank, lengths, ranges = self.audio.build_clip_bank()
         dev = {
