@@ -26,10 +26,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_ENVS = 8
-T = 100
+T = 30
 
 
-def bench_ours(updates: int = 2):
+def bench_ours(updates: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -66,6 +66,7 @@ def bench_ours(updates: int = 2):
 
     # warmup one full update (compiles everything)
     def one_update(action, key):
+        nonlocal state
         for t in range(T):
             raw, er, done, infos = envs.step(action)
             key, sub = jax.random.split(key)
@@ -73,8 +74,8 @@ def bench_ours(updates: int = 2):
         eng.compute_returns(cfg.ppoUseGAE, cfg.RLGamma, cfg.ppoGAELambda,
                             False)
         key, sub = jax.random.split(key)
-        new_state, metrics = ppo.update(state, eng.device_batch(), sub)
-        eng.set_policy_params(new_state.params)
+        state, metrics = ppo.update(state, eng.device_batch(), sub)
+        eng.set_policy_params(state.params)
         eng.after_update()
         jax.block_until_ready(metrics)
         return action, key
@@ -90,7 +91,7 @@ def bench_ours(updates: int = 2):
     return N_ENVS * T * updates / dt
 
 
-def bench_torch_cpu(updates: int = 1):
+def bench_torch_cpu(updates: int = 1, t_steps: int = 20):
     import torch
     import torch.nn as nn
 
@@ -151,7 +152,7 @@ def bench_torch_cpu(updates: int = 1):
     def one_update():
         nonlocal raw, hx, action
         images, values, logps = [], [], []
-        for t in range(T):
+        for t in range(t_steps):
             raw, er, done, infos = envs.step(action)
             img = torch.from_numpy(
                 raw["image"].astype(np.float32) / 255.0)
@@ -171,13 +172,12 @@ def bench_torch_cpu(updates: int = 1):
             loss.backward()
             opt.step()
 
-    one_update()  # warmup
     t0 = time.perf_counter()
     for _ in range(updates):
         one_update()
     dt = time.perf_counter() - t0
     envs.close()
-    return N_ENVS * T * updates / dt
+    return N_ENVS * t_steps * updates / dt
 
 
 def main():

@@ -121,43 +121,50 @@ class PPO:
             # (reference: storage.py:130-173)
             return self._update_feed_forward(state, batch, key, advantages)
 
-        for epoch in range(cfg.ppo_epoch):
+        # Pre-draw every epoch's env permutation, stack all (epoch,
+        # minibatch) index sets, and lax.scan the minibatch step over them —
+        # identical semantics to the reference's sequential loop, but the
+        # policy compiles ONCE instead of epochs x minibatches times.
+        perms = []
+        for _ in range(cfg.ppo_epoch):
             key, sub = jax.random.split(key)
-            perm = jax.random.permutation(sub, N)
-            for mb in range(cfg.num_mini_batch):
-                env_idx = jax.lax.dynamic_slice_in_dim(
-                    perm, mb * n_per_mb, n_per_mb)
+            perms.append(jax.random.permutation(sub, N))
+        idx_stack = jnp.stack(perms).reshape(
+            cfg.ppo_epoch * cfg.num_mini_batch, n_per_mb)
 
-                def take(x, axis=1):
-                    return jnp.take(x, env_idx, axis=axis)
+        def mb_body(carry, env_idx):
+            params, opt_state = carry
 
-                obs_mb = {k: take(v).reshape((T * n_per_mb,) + v.shape[2:])
-                          for k, v in batch["obs"].items()}
-                grads_fn = jax.value_and_grad(self._minibatch_loss, has_aux=True)
-                (loss, (v_l, a_l, ent)), grads = grads_fn(
-                    params,
-                    obs_mb,
-                    take(batch["rnn_hx0"], axis=0),
-                    take(batch["masks"]).reshape(T * n_per_mb),
-                    take(batch["actions"]).reshape(
-                        (T * n_per_mb,) + batch["actions"].shape[2:]),
-                    take(batch["value_preds"]).reshape(T * n_per_mb),
-                    take(batch["returns"]).reshape(T * n_per_mb),
-                    take(batch["old_log_probs"]).reshape(T * n_per_mb),
-                    take(advantages).reshape(T * n_per_mb),
-                    T,
-                )
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                v_epoch += v_l
-                a_epoch += a_l
-                e_epoch += ent
+            def take(x, axis=1):
+                return jnp.take(x, env_idx, axis=axis)
 
-        num_updates = cfg.ppo_epoch * cfg.num_mini_batch
+            obs_mb = {k: take(v).reshape((T * n_per_mb,) + v.shape[2:])
+                      for k, v in batch["obs"].items()}
+            grads_fn = jax.value_and_grad(self._minibatch_loss, has_aux=True)
+            (_, (v_l, a_l, ent)), grads = grads_fn(
+                params,
+                obs_mb,
+                take(batch["rnn_hx0"], axis=0),
+                take(batch["masks"]).reshape(T * n_per_mb),
+                take(batch["actions"]).reshape(
+                    (T * n_per_mb,) + batch["actions"].shape[2:]),
+                take(batch["value_preds"]).reshape(T * n_per_mb),
+                take(batch["returns"]).reshape(T * n_per_mb),
+                take(batch["old_log_probs"]).reshape(T * n_per_mb),
+                take(advantages).reshape(T * n_per_mb),
+                T,
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), jnp.stack([v_l, a_l, ent])
+
+        (params, opt_state), stats = jax.lax.scan(
+            mb_body, (params, opt_state), idx_stack)
+        mean_stats = jnp.mean(stats, axis=0)
         metrics = {
-            "value_loss": v_epoch / num_updates,
-            "action_loss": a_epoch / num_updates,
-            "dist_entropy": e_epoch / num_updates,
+            "value_loss": mean_stats[0],
+            "action_loss": mean_stats[1],
+            "dist_entropy": mean_stats[2],
         }
         return PPOState(params, opt_state, state.step + 1), metrics
 

@@ -292,13 +292,18 @@ class DeviceRolloutEngine:
             "old_log_probs": b.action_log_probs,
         }
 
-    def compute_returns(self, use_gae, gamma, gae_lambda, proper):
-        b = self.buffers
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def _returns_fn(self, buffers, gamma, gae_lambda, use_gae, proper):
         value_preds = jnp.concatenate(
-            [b.values, b.prev_value[None]], axis=0)  # (T+1, N)
-        self._returns, _ = compute_returns(
-            b.rewards, value_preds, b.masks, b.bad_masks, b.prev_value,
-            gamma, gae_lambda, use_gae, proper)
+            [buffers.values, buffers.prev_value[None]], axis=0)  # (T+1, N)
+        returns, _ = compute_returns(
+            buffers.rewards, value_preds, buffers.masks, buffers.bad_masks,
+            buffers.prev_value, gamma, gae_lambda, use_gae, proper)
+        return returns
+
+    def compute_returns(self, use_gae, gamma, gae_lambda, proper):
+        self._returns = self._returns_fn(
+            self.buffers, gamma, gae_lambda, bool(use_gae), bool(proper))
 
     def after_update(self):
         self.buffers = self._after_update(self.buffers)
