@@ -39,6 +39,61 @@ def test_graft_dryrun_8dev():
     g.dryrun_multichip(8)
 
 
+def test_sharded_device_rollout_engine():
+    """The RL rollout engine with env-axis-sharded buffers: collect steps +
+    GAE execute over an 8-device mesh with finite outputs."""
+    import jax.numpy as jnp
+
+    from var_tpu.config import main_config
+    from var_tpu.models.encoders import build_pretext_model, init_pretext_params
+    from var_tpu.models.policy import build_policy
+    from var_tpu.envs.spaces import Box
+    from var_tpu.rl.rollout_device import DeviceRolloutEngine
+
+    cfg = main_config(env="arms")
+    cfg.override(RLRecurrentSize=32, RLRecurrentInputSize=16)
+    mesh = build_mesh({"dp": 8})
+    N, T = 8, 3
+    model = build_pretext_model(cfg)
+    vparams = init_pretext_params(model, cfg, jax.random.PRNGKey(0))["params"]
+    policy = build_policy(cfg, Box(low=-np.ones(2), high=np.ones(2)))
+    eng = DeviceRolloutEngine(model, vparams, policy, cfg, T, N,
+                              "robot_pose", (2,), jnp.float32, (2,),
+                              jnp.float32, mesh=mesh)
+    rng = np.random.RandomState(0)
+
+    def raw_obs():
+        return {
+            "image": (rng.rand(N, 3, 96, 96) * 255).astype(np.uint8),
+            "goal_sound": rng.randn(N, 1, 100, 40).astype(np.float32),
+            "robot_pose": rng.randn(N, 2).astype(np.float32),
+        }
+
+    dummy = {
+        "robot_pose": jnp.zeros((N, 2)),
+        "goal_sound_feat": jnp.zeros((N, 3)),
+        "image": jnp.zeros((N, 3, 96, 96), jnp.uint8),
+        "image_feat": jnp.zeros((N, 3)),
+    }
+    pv = policy.init(jax.random.PRNGKey(1), dummy, jnp.zeros((N, 32)),
+                     jnp.ones((N, 1)), 1)
+    eng.set_policy_params(pv["params"])
+    action = eng.init(raw_obs(), jax.random.PRNGKey(2))
+    assert action.shape == (N, 2)
+    for t in range(T):
+        obs = raw_obs()
+        # step 1+: inf sentinel goal sounds (cached path)
+        obs["goal_sound"] = np.full_like(obs["goal_sound"], np.inf)
+        action, raw_rew = eng.step(t, obs, np.zeros(N), np.zeros(N, bool),
+                                   np.ones(N), jax.random.PRNGKey(3 + t))
+        assert np.isfinite(raw_rew).all()
+    eng.compute_returns(True, 0.99, 0.95, False)
+    batch = eng.device_batch()
+    assert np.isfinite(np.asarray(batch["returns"])).all()
+    # buffers actually sharded over the mesh
+    assert len(eng.buffers.values.sharding.device_set) == 8
+
+
 def test_sharded_pretext_step_matches_single_device():
     """Same batch, same init: the dp-sharded step must produce the same
     loss and parameters as the unsharded step."""

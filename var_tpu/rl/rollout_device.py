@@ -64,7 +64,7 @@ class DeviceRolloutEngine:
     def __init__(self, var_model, var_params, policy, config, num_steps: int,
                  num_envs: int, extra_key: str, extra_shape, extra_dtype,
                  action_shape, action_dtype, gamma: float = 0.99,
-                 cliprew: float = 10.0, epsilon: float = 1e-8):
+                 cliprew: float = 10.0, epsilon: float = 1e-8, mesh=None):
         self.var_model = var_model
         self.var_params = var_params
         self.policy = policy
@@ -76,6 +76,19 @@ class DeviceRolloutEngine:
         self.cliprew = cliprew
         self.epsilon = epsilon
         self.is_arm = extra_key == "robot_pose"
+        # multi-chip: shard every buffer's env axis over the mesh 'dp' axis
+        # (the time axis stays unsharded); XLA inserts the cross-chip
+        # reductions for the return-RMS statistics and the PPO grads
+        self.mesh = mesh
+        if mesh is not None:
+            import jax.sharding as shd
+
+            self._env_axis0 = shd.NamedSharding(mesh, shd.PartitionSpec("dp"))
+            self._env_axis1 = shd.NamedSharding(
+                mesh, shd.PartitionSpec(None, "dp"))
+            self._rep = shd.NamedSharding(mesh, shd.PartitionSpec())
+        else:
+            self._env_axis0 = self._env_axis1 = self._rep = None
 
         D = config.representationDim
         H = policy.recurrent_hidden_state_size
@@ -103,6 +116,30 @@ class DeviceRolloutEngine:
             rms_var=jnp.ones((), jnp.float32),
             rms_count=jnp.asarray(1e-4, jnp.float32),
         )
+        if self.mesh is not None:
+            self.buffers = DeviceRollout(**{
+                name: jax.device_put(v, self._sharding_for(name))
+                for name, v in self.buffers._asdict().items()
+            })
+
+    # env axis position per field (explicit — shapes can be ambiguous)
+    _ENV_AXIS0_FIELDS = frozenset(
+        ("cached_goal", "prev_value", "prev_log_prob", "prev_action",
+         "prev_hx", "ret"))
+    _SCALAR_FIELDS = frozenset(("rms_mean", "rms_var", "rms_count"))
+
+    def _sharding_for(self, name: str):
+        if name in self._SCALAR_FIELDS:
+            return self._rep
+        if name in self._ENV_AXIS0_FIELDS:
+            return self._env_axis0
+        return self._env_axis1  # (T|T+1, N, ...) tensors
+
+    def _put_host(self, x, env_axis0=True):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(
+            np.asarray(x), self._env_axis0 if env_axis0 else self._rep)
 
     # -- device programs -----------------------------------------------------
 
@@ -242,9 +279,9 @@ class DeviceRolloutEngine:
         fresh = np.isfinite(goal.reshape(self.N, -1)[:, 0])
         self.buffers, action = self._init_step(
             self.buffers, self.var_params, self._policy_params,
-            jnp.asarray(raw_obs["image"]),
-            jnp.asarray(self._extra(raw_obs)),
-            jnp.asarray(goal), jnp.asarray(fresh), key)
+            self._put_host(raw_obs["image"]),
+            self._put_host(self._extra(raw_obs)),
+            self._put_host(goal), self._put_host(fresh), key)
         return np.asarray(action)
 
     def step(self, t: int, raw_obs, env_reward, done, bad_masks, key):
@@ -258,9 +295,9 @@ class DeviceRolloutEngine:
              np.asarray(env_reward, np.float32)], axis=1)
         self.buffers, packed_out = self._collect_step(
             self.buffers, jnp.asarray(t, jnp.int32), self.var_params,
-            self._policy_params, jnp.asarray(raw_obs["image"]),
-            jnp.asarray(self._extra(raw_obs)), jnp.asarray(goal),
-            jnp.asarray(packed_host), key, use_sound)
+            self._policy_params, self._put_host(raw_obs["image"]),
+            self._put_host(self._extra(raw_obs)), self._put_host(goal),
+            self._put_host(packed_host), key, use_sound)
         packed = np.asarray(packed_out)  # THE one readback per step
         action = packed[:, :-1]
         if self.buffers.actions.dtype == jnp.int32:

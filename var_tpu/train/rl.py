@@ -123,11 +123,16 @@ class RLTrainer:
             action_shape = envs.action_space.shape
             action_dtype = jnp.float32
 
+        mesh = None
+        if getattr(cfg, "meshShape", None):
+            from var_tpu.parallel.mesh import build_mesh
+
+            mesh = build_mesh(cfg.meshShape)
         engine = DeviceRolloutEngine(
             self.pretext_model, self.pretext_params, self.policy, cfg,
             T, N, extra_key, extra0.shape[1:],
             jnp.float32 if is_arm else jnp.uint8,
-            action_shape, action_dtype, gamma=cfg.RLGamma)
+            action_shape, action_dtype, gamma=cfg.RLGamma, mesh=mesh)
 
         dummy_obs = {
             extra_key: jnp.asarray(
