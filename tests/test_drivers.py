@@ -117,6 +117,30 @@ def test_full_pipeline_ai2thor(tmp_path):
     assert os.path.isdir(os.path.join(cfg.RLModelSaveDir, "00000"))
 
 
+def test_collection_with_stored_sounds(tmp_path):
+    """pretextDataHasSound=True: shards carry raw sound features and
+    training takes the precomputed-feature step."""
+    from var_tpu.data.triplets import load_env_data, load_shard
+    from var_tpu.train.pretext import PretextTrainer
+
+    cfg = _cfg(tmp_path)
+    cfg.override(pretextDataHasSound=True, pretextCollectNum=[2, 2, 2, 2, 4],
+                 pretextDataEpisode=2)
+    gym_register(cfg, env="arms")
+    trainer = PretextTrainer(cfg)
+    trainer.collectPretextData()
+    shards = glob.glob(os.path.join(cfg.pretextDataDir[0], "train", "*.pickle"))
+    pairs = [p for s in shards for p in load_shard(s)]
+    assert any("sound_positive" in p for p in pairs)
+    sample = next(p for p in pairs if "sound_positive" in p)
+    assert np.asarray(sample["sound_positive"]).shape == cfg.sound_dim
+
+    ds = load_env_data(cfg, trainer._ensure_audio())
+    assert ds.has_sound
+    losses = trainer.trainRepresentation(epoch=1, dataset=ds, log_csv=False)
+    assert np.isfinite(losses).all()
+
+
 def test_self_improve_round(tmp_path):
     from var_tpu.train.pretext import PretextTrainer
     from var_tpu.train.self_improve import self_improve
