@@ -65,6 +65,7 @@ def test_collect_pretext_data(tmp_path, env):
         assert 0 <= int(np.asarray(p["ground_truth"]).reshape(())) <= cfg.taskNum
 
 
+@pytest.mark.slow
 def test_full_pipeline_arm(tmp_path):
     """collect -> train VAR -> train RL -> eval, end to end."""
     from var_tpu.train.pretext import PretextTrainer
@@ -96,6 +97,7 @@ def test_full_pipeline_arm(tmp_path):
     assert glob.glob(os.path.join(cfg.RLModelSaveDir, "test_*.csv"))
 
 
+@pytest.mark.slow
 def test_full_pipeline_ai2thor(tmp_path):
     """The second env family end to end (CRNN encoder, occupancy obs,
     inf-sentinel goal sounds)."""
@@ -117,6 +119,7 @@ def test_full_pipeline_ai2thor(tmp_path):
     assert os.path.isdir(os.path.join(cfg.RLModelSaveDir, "00000"))
 
 
+@pytest.mark.slow
 def test_collection_with_stored_sounds(tmp_path):
     """pretextDataHasSound=True: shards carry raw sound features and
     training takes the precomputed-feature step."""
@@ -141,6 +144,7 @@ def test_collection_with_stored_sounds(tmp_path):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_self_improve_round(tmp_path):
     from var_tpu.train.pretext import PretextTrainer
     from var_tpu.train.self_improve import self_improve

@@ -94,6 +94,7 @@ def test_pretext_training_loss_decreases(arm_config):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_training_actually_learns(arm_config):
     """More epochs on separable data must drive the triplet loss well below
     the margin-1.0 starting point."""

@@ -33,12 +33,14 @@ def test_pad_to_multiple():
     assert padded.shape == (16, 1) and n == 10
 
 
+@pytest.mark.slow
 def test_graft_dryrun_8dev():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_device_rollout_engine():
     """The RL rollout engine with env-axis-sharded buffers: collect steps +
     GAE execute over an 8-device mesh with finite outputs."""
@@ -94,6 +96,7 @@ def test_sharded_device_rollout_engine():
     assert len(eng.buffers.values.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_pretext_step_matches_single_device():
     """Same batch, same init: the dp-sharded step must produce the same
     loss and parameters as the unsharded step."""

@@ -130,6 +130,7 @@ def test_reward_wrapper_caching_and_reward(tmp_path, env_kind):
     envs.close()
 
 
+@pytest.mark.slow
 def test_fused_engine_matches_reward_wrapper(tmp_path):
     """The fused rollout engine must reproduce the wrapper's embeddings,
     goal cache, and raw reward exactly."""
@@ -187,6 +188,7 @@ def test_fused_engine_matches_reward_wrapper(tmp_path):
     raw_envs.close()
 
 
+@pytest.mark.slow
 def test_end_to_end_rl_training(tmp_path):
     from var_tpu.train.rl import RLTrainer
 
@@ -202,6 +204,7 @@ def test_end_to_end_rl_training(tmp_path):
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
 
 
+@pytest.mark.slow
 def test_eval_success_rate(tmp_path):
     from var_tpu.train.rl import RLTrainer
 
