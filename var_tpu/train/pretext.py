@@ -114,8 +114,17 @@ class PretextTrainer:
         return path
 
     def loadPretextModel(self, path: Optional[str] = None):
-        """Load weights for inference/fine-tune (reference: pretext.py:102-111)."""
+        """Load weights for inference/fine-tune (reference: pretext.py:102-111).
+        If `path` is a save directory rather than a specific step, the newest
+        numeric checkpoint inside it is used."""
+        from var_tpu.train.checkpoint import latest_checkpoint
+
         path = self.config.pretextModelLoadDir if path is None else path
+        if os.path.isdir(path) and not os.path.exists(
+                os.path.join(path, "_METADATA")):
+            newest = latest_checkpoint(path)
+            if newest is not None:
+                path = newest
         if self.variables is None:
             self.init_model()
         restored = load_checkpoint(path)
