@@ -292,10 +292,12 @@ class PretextTrainer:
         self.tx = make_optimizer(cfg, steps_per_epoch)
         if self.variables is None:
             self.init_model(seed=cfg.pretextEnvSeed)
-        if cfg.pretextModelFineTune and os.path.exists(
-            os.path.join(cfg.pretextModelLoadDir)
-        ):
-            self.loadPretextModel()
+        if cfg.pretextModelFineTune:
+            if os.path.exists(cfg.pretextModelLoadDir):
+                self.loadPretextModel()
+            else:
+                print(f"fine-tune requested but {cfg.pretextModelLoadDir!r} "
+                      "not found; training from scratch")
         params = self.variables["params"]
         self.setup_mesh()
         if self._replicated is not None:

@@ -180,10 +180,15 @@ class RLTrainer:
             engine.compute_returns(cfg.ppoUseGAE, cfg.RLGamma,
                                    cfg.ppoGAELambda, cfg.RLUseProperTimeLimits)
             self.rng, sub = jax.random.split(self.rng)
-            with self.timer.phase("ppo_update"):
+            # jax.profiler trace of one steady-state update when requested
+            trace_dir = (os.environ.get("VAR_TPU_TRACE_DIR")
+                         if j == 1 else None)
+            with self.timer.phase("ppo_update"), device_trace(trace_dir):
                 self.state, metrics = self.ppo.update(
                     self.state, engine.device_batch(), sub)
                 engine.set_policy_params(self.state.params)
+                if trace_dir:
+                    jax.block_until_ready(metrics)
             engine.after_update()
 
             if (j % cfg.RLModelSaveInterval == 0 or j == num_updates - 1) \
