@@ -106,6 +106,33 @@ def test_clip_bank_and_id_sampling():
         assert ranges[c, 0] <= i < ranges[c, 1]
 
 
+def test_fsc_for_pybullet_intents(tmp_path):
+    """FSC utterances keyed by arm intent via 'loc_obj_act' item strings
+    (reference loadFSCData_pybullet)."""
+    cfg = main_config(env="arms")
+    cfg.override(
+        commonMediaPath=str(tmp_path),
+        soundSource={
+            "dataset": ["FSC"],
+            "items": {"FSC": ["none_lights_activate", "none_lights_deactivate",
+                              "none_music_activate", "none_music_deactivate"]},
+            "size": {"FSC": [2, 2, 2, 2]},
+            "max_sound_dur": {"FSC": 6.0},
+            "train_test": "train",
+        },
+    )
+    cfg.taskNum = 4
+    _write_fsc_corpus(str(tmp_path), {"lights": ["activate", "deactivate"],
+                                      "music": ["activate", "deactivate"]})
+    audio = AudioStore(cfg)
+    audio.loadData()
+    for i in range(4):
+        assert "FSC" in audio.words[i], f"intent {i} missing FSC clips"
+        assert len(audio.words[i]["FSC"]) == 2
+    feat, clip = audio.genSoundFeat(1, "MFCC", np.random.RandomState(0).randint)
+    assert feat.shape == (1, cfg.sound_dim[1], 40)
+
+
 def test_mix_preset_heterogeneous_params(tmp_path):
     """The 'mix' preset (GoogleCommand + UrbanSound) has differing STFT
     params; the dataset must fall back to per-clip host features and the

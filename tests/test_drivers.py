@@ -145,6 +145,37 @@ def test_collection_with_stored_sounds(tmp_path):
 
 
 @pytest.mark.slow
+def test_manual_control_scripted(tmp_path):
+    """Line-based manual control with a scripted command stream."""
+    import jax
+
+    from var_tpu.models.encoders import init_pretext_params
+    from var_tpu.train.rl import RLTrainer
+
+    # arm: continuous 'dx dy' commands
+    cfg = _cfg(tmp_path)
+    cfg.override(RLTrain=False, RLManualControl=True,
+                 episodeImgSaveDir=os.path.join(str(tmp_path), "frames"))
+    rl = RLTrainer(cfg, env="arms")
+    rl.pretext_params = init_pretext_params(
+        rl.pretext_model, cfg, jax.random.PRNGKey(0))["params"]
+    script = iter(["0.5 0.5", "-1 0", "bogus", "0 1", "quit"])
+    rl.manualControl(num_episodes=1, input_fn=lambda: next(script))
+    assert os.path.exists(os.path.join(str(tmp_path), "frames",
+                                       "manual_live.jpg"))
+
+    # ai2thor: keyboard-mapping keys
+    cfg2 = _cfg(tmp_path, env="ai2thor")
+    cfg2.override(RLTrain=False, RLManualControl=True,
+                  episodeImgSaveDir=os.path.join(str(tmp_path), "frames2"))
+    rl2 = RLTrainer(cfg2, env="ai2thor")
+    rl2.pretext_params = init_pretext_params(
+        rl2.pretext_model, cfg2, jax.random.PRNGKey(0))["params"]
+    script2 = iter(["w", "q", "T", "nope", "quit"])
+    rl2.manualControl(num_episodes=1, input_fn=lambda: next(script2))
+
+
+@pytest.mark.slow
 def test_self_improve_round(tmp_path):
     from var_tpu.train.pretext import PretextTrainer
     from var_tpu.train.self_improve import self_improve

@@ -127,6 +127,9 @@ class AudioStore:
         for i in range(cfg.taskNum):
             self.words[i] = {}
         for dataset in cfg.soundSource["dataset"]:
+            if dataset == "FSC":
+                self._load_fsc_pybullet()
+                continue
             items = cfg.soundSource["items"][dataset]
             sizes = cfg.soundSource["size"][dataset]
             max_dur = cfg.soundSource.get("max_sound_dur", {}).get(dataset, 6.0)
@@ -135,11 +138,13 @@ class AudioStore:
                     continue
                 paths = self._wav_paths(dataset, item)
                 clips = []
-                for p in paths[: sizes[i]]:
+                for p in paths:
                     clip = self._read_wav(p)
                     if clip is None or len(clip) > max_dur * FS:
                         continue
                     clips.append(clip)
+                    if len(clips) >= sizes[i]:
+                        break
                 if clips:
                     self.words[i][dataset] = clips
         # synthetic fallback for empty intents
@@ -155,6 +160,43 @@ class AudioStore:
                 "AudioStore: no wav corpora found under "
                 f"{cfg.commonMediaPath!r}; using the synthetic source"
             )
+
+    def _load_fsc_pybullet(self):
+        """FSC utterances keyed by arm intent index (reference:
+        Envs/audioLoader.py:114-126 loadFSCData_pybullet): each entry of
+        soundSource['items']['FSC'] is a 'location_object_action' string
+        selecting matching FSC rows for that intent."""
+        import pandas as pd
+
+        cfg = self.config
+        src = cfg.soundSource
+        csv_path = os.path.join(cfg.commonMediaPath, "FSC", "data",
+                                src.get("FSC_csv",
+                                        src.get("train_test", "train")
+                                        + "_data.csv"))
+        if not os.path.exists(csv_path):
+            warnings.warn(f"FSC metadata not found at {csv_path!r}")
+            return
+        df = pd.read_csv(csv_path)
+        max_dur = src.get("max_sound_dur", {}).get("FSC", 6.0)
+        for i, item in enumerate(src["items"]["FSC"]):
+            if item is None:
+                continue
+            load_size = src["size"]["FSC"][i]
+            loc, obj, act = item.split("_")
+            sub = df[(df.object == obj) & (df.action == act)
+                     & (df.location == loc)]
+            clips = []
+            for rel in sub["path"].tolist():
+                clip = self._read_wav(
+                    os.path.join(cfg.commonMediaPath, "FSC", rel))
+                if clip is None or len(clip) > max_dur * FS:
+                    continue
+                clips.append(clip)
+                if len(clips) >= load_size:
+                    break
+            if clips:
+                self.words[i]["FSC"] = clips
 
     def _load_ai2thor(self):
         """words[loc][obj][act] = [clips] from FSC metadata (reference:

@@ -415,6 +415,67 @@ class RLTrainer:
         envs.close()
         return success_rate
 
+    # -- manual control (reference: RL.py:27-38 + keyboard teleop) -------------
+
+    def manualControl(self, num_episodes: int = 50, input_fn=None,
+                      frame_dir: Optional[str] = None):
+        """Drive one env by keyboard.
+
+        The reference reads raw single keys via termios and shows a window;
+        here input is line-based (works over any terminal) and frames are
+        written to `frame_dir` when headless. `input_fn` can inject a
+        scripted command stream (tests). Commands: the env's
+        keyBoardMapping keys (ai2thor: w/s/a/d/q/e/T/t) or 'dx dy' floats
+        (arm), empty line repeats, 'quit' exits."""
+        cfg = self.config
+        envs = self._make_envs(1, cfg.RLGamma)
+        input_fn = input_fn or (lambda: input("action> "))
+        frame_dir = frame_dir or cfg.episodeImgSaveDir
+        os.makedirs(frame_dir, exist_ok=True)
+        mapping = getattr(cfg, "keyBoardMapping", None)
+        is_discrete = mapping is not None
+
+        envs.reset()
+        last = None
+        for episode in range(num_episodes):
+            for i in range(cfg.RLEnvMaxSteps):
+                frame = envs.render()
+                if frame is not None:
+                    import cv2
+
+                    cv2.imwrite(os.path.join(frame_dir, "manual_live.jpg"),
+                                cv2.cvtColor(np.asarray(frame),
+                                             cv2.COLOR_RGB2BGR))
+                try:
+                    cmd = input_fn()
+                except (EOFError, StopIteration):
+                    envs.close()
+                    return
+                cmd = (cmd or "").strip() or last or ""
+                if cmd == "quit":
+                    envs.close()
+                    return
+                last = cmd
+                if is_discrete:
+                    if cmd not in mapping:
+                        print(f"unknown key {cmd!r}; "
+                              f"choose from {list(mapping)}")
+                        continue
+                    action = np.asarray(
+                        [[list(mapping).index(cmd)]], np.int32)
+                else:
+                    try:
+                        dx, dy = (float(v) for v in cmd.split())
+                    except ValueError:
+                        print("expected 'dx dy' floats")
+                        continue
+                    action = np.asarray([[dx, dy]], np.float32)
+                _, _, done, _ = envs.step(action)
+                print("step reward", float(envs.origStepReward[0]))
+                if done[0]:
+                    break
+        envs.close()
+
     # -- mode dispatch (reference: RL.py:251-284 run) ---------------------------
 
     def run(self):
@@ -422,8 +483,14 @@ class RLTrainer:
         if not (cfg.RLManualControl and not cfg.RLManualControlLoaded):
             self.load_pretext()
         if cfg.RLManualControl:
-            raise NotImplementedError(
-                "interactive manual control requires a TTY; use testRL")
+            if self.pretext_params is None:
+                # manual control without a VAR: initialize fresh (reward
+                # values are then meaningless but the env is drivable)
+                from var_tpu.models.encoders import init_pretext_params
+
+                self.pretext_params = init_pretext_params(
+                    self.pretext_model, cfg, jax.random.PRNGKey(0))["params"]
+            return self.manualControl()
         if cfg.RLTrain:
             return self.trainRL()
         return self.testRL()
