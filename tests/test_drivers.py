@@ -175,6 +175,24 @@ def test_manual_control_scripted(tmp_path):
     rl2.manualControl(num_episodes=1, input_fn=lambda: next(script2))
 
 
+def test_manual_triplet_collection_scripted(tmp_path):
+    """'r' buffers the current pair, 'z'/exit flushes a shard
+    (reference 'r'/'z' keys)."""
+    from var_tpu.data.triplets import load_shard
+    from var_tpu.train.pretext import PretextTrainer
+
+    cfg = _cfg(tmp_path)
+    gym_register(cfg, env="arms")
+    trainer = PretextTrainer(cfg)
+    script = iter(["", "r", "", "r", "z", "", "r", "quit"])
+    path = trainer.manuallyCollectPretextData(input_fn=lambda: next(script))
+    shards = glob.glob(os.path.join(cfg.pretextDataDir[0], "train", "*.pickle"))
+    assert len(shards) == 2  # the 'z' flush + the exit flush
+    pairs = [p for s in shards for p in load_shard(s)]
+    assert len(pairs) == 3
+    assert all(p["image"].shape == (3, 96, 96) for p in pairs)
+
+
 @pytest.mark.slow
 def test_self_improve_round(tmp_path):
     from var_tpu.train.pretext import PretextTrainer

@@ -29,6 +29,7 @@ host-side by design (BASELINE.json north star).
 """
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 from typing import Optional
 
@@ -324,6 +325,23 @@ class FourInARowSim(Env):
 
     def render(self, mode="human"):
         return self.get_image()
+
+    def saveManualPairs(self):
+        """Flush manually collected pairs to a timestamped shard
+        (reference: fourInARow.py:337-357 saveManualPairs)."""
+        from datetime import datetime
+
+        from var_tpu.data.triplets import save_shard
+
+        if not self.saved_pairs:
+            return None
+        name = "data_" + datetime.now().strftime("%m_%d_%Y_%H_%M_%S_%f")
+        path = os.path.join(self.config.pretextDataDir[0], "train",
+                            name + ".pickle")
+        save_shard(path, list(self.saved_pairs))
+        self.saved_pairs.clear()
+        print("Data saved to", self.config.pretextDataDir[0])
+        return path
 
 
 class FourInARowPretextSim(FourInARowSim):

@@ -508,6 +508,24 @@ class GridHouseSim(Env):
     def render(self, mode="human"):
         return self.get_image()
 
+    def saveManualPairs(self):
+        """Flush manually collected pairs to a timestamped shard
+        (reference: RL_env_VAR.py:329-341 saveManualPairs)."""
+        import os
+        from datetime import datetime
+
+        from var_tpu.data.triplets import save_shard
+
+        if not self.saved_pairs:
+            return None
+        name = "data_" + datetime.now().strftime("%m_%d_%Y_%H_%M_%S_%f")
+        path = os.path.join(self.config.pretextDataDir[0], "train",
+                            name + ".pickle")
+        save_shard(path, list(self.saved_pairs))
+        self.saved_pairs.clear()
+        print("Data saved to", self.config.pretextDataDir[0])
+        return path
+
 
 class GridHousePretextSim(GridHouseSim):
     """Pretext collection env ('ai2thor-pretext-v2' builtin)

@@ -499,6 +499,49 @@ class PretextTrainer:
         print("representation plot saved to", out_path)
         return out_path
 
+    def manuallyCollectPretextData(self, input_fn=None,
+                                   max_steps: Optional[int] = None):
+        """Manual triplet collection (reference: pretext.py:113-133 +
+        the env's 'r'/'z' keys, fourInARow.py:361-389).
+
+        Line-based: empty line steps the env (random walk / teleport),
+        'r' stores the current pair in the env's buffer, 'z' flushes the
+        buffer to a timestamped shard, 'quit' exits (auto-flushing)."""
+        from var_tpu.envs.core import make
+
+        cfg = self.config
+        self._ensure_audio()
+        env = make(cfg.pretextEnvName)
+        env.unwrapped.audio = self.audio
+        env.seed(cfg.pretextEnvSeed)
+        input_fn = input_fn or (lambda: input("collect [step|r|z|quit]> "))
+        obs = env.reset()
+        steps = 0
+        while max_steps is None or steps < max_steps:
+            try:
+                cmd = (input_fn() or "").strip()
+            except (EOFError, StopIteration):
+                break
+            if cmd == "quit":
+                break
+            if cmd == "r":
+                env.unwrapped.saved_pairs.append(
+                    {k: np.asarray(v) for k, v in obs.items()})
+                print("Number of pairs collected",
+                      len(env.unwrapped.saved_pairs))
+                continue
+            if cmd == "z":
+                env.unwrapped.saveManualPairs()
+                continue
+            obs, _, done, _ = env.step(
+                np.zeros(getattr(cfg, "pretextActionDim", (1,)), np.float32))
+            steps += 1
+            if done:
+                obs = env.reset()
+        path = env.unwrapped.saveManualPairs()
+        env.close()
+        return path
+
     # -- mode dispatch (reference: pretext.py:292-328 run) -------------------
 
     def run(self):
@@ -508,8 +551,8 @@ class PretextTrainer:
 
         gym_register(cfg)
         if cfg.pretextManualControl or cfg.pretextManualCollect:
-            raise NotImplementedError(
-                "interactive manual collection requires a TTY/display")
+            self.manuallyCollectPretextData()
+            return
         if cfg.pretextCollection:
             self.collectPretextData()
         if cfg.pretextTrain:
