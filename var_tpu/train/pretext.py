@@ -317,6 +317,14 @@ class PretextTrainer:
         t0 = time.time()
         n_triplets = 0
         for ep in range(epoch):
+            # periodic embedding plot during training
+            # (reference: VAR/pretext_VAR.py:45-49)
+            if (plot and cfg.plotRepresentation >= 0 and ep > 0
+                    and ep % cfg.plotRepresentation == 0):
+                self.variables = {"params": self.state.params}
+                self.plotRepresentation(
+                    ds, out_path=os.path.join(
+                        cfg.pretextModelSaveDir, f"representation_ep{ep}.png"))
             losses = []
             if bank is not None:
                 losses, n = self._run_epoch_indexed(
