@@ -190,6 +190,37 @@ def bench_torch_cpu(cfg, audio, batches, iters: int = 2):
     return n / dt
 
 
+def bench_rl():
+    """Secondary north-star metric: PPO env-steps/s vs the faithful
+    torch-CPU reference twin (benchmarks/rl_bench.py). Returns a dict or
+    None; failures must not kill the headline bench."""
+    import os
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    try:
+        import rl_bench
+
+        ours_exact = rl_bench.bench_ours()
+        ours_pipe = rl_bench.bench_ours(pipelined=True)
+        best = max(ours_exact, ours_pipe)
+        print(f"# rl ours: exact {ours_exact:.1f}, pipelined "
+              f"{ours_pipe:.1f} env-steps/s", file=sys.stderr)
+        ref = rl_bench.bench_torch_cpu()
+        print(f"# rl torch-cpu twin: {ref:.1f} env-steps/s", file=sys.stderr)
+        return {
+            "metric": "ppo_env_steps_per_sec",
+            "value": round(best, 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(best / ref, 2) if ref else None,
+            "exact_mode": round(ours_exact, 1),
+            "pipelined_mode": round(ours_pipe, 1),
+        }
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"# rl bench failed: {e}", file=sys.stderr)
+        return None
+
+
 def main():
     cfg, audio, batches = _make_batches(4)
     tpu_tps = bench_tpu(cfg, audio, batches)
@@ -200,12 +231,14 @@ def main():
     except Exception as e:  # baseline failure must not kill the bench
         print(f"# torch baseline failed: {e}", file=sys.stderr)
         cpu_tps = None
+    rl = bench_rl()
     vs = tpu_tps / cpu_tps if cpu_tps else None
     print(json.dumps({
         "metric": "var_pretext_triplets_per_sec_per_chip",
         "value": round(tpu_tps, 1),
         "unit": "triplets/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "rl": rl,
     }))
 
 

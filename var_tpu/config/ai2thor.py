@@ -146,7 +146,11 @@ class AI2ThorConfig(ConfigBase):
         self.audioBackend = "gemm"
         self.simBackend = "builtin"  # 'builtin' gridworld sim | 'ithor' adapter
         self.vecEnvBackend = "auto"
+        self.vecEnvContext = "forkserver"  # mp start method for shmem workers
         self.fusedRollout = True
+        # one-step-stale pipelined rollout: overlaps sim stepping with the
+        # device step + readback (train/rl.py); off = exact reference timing
+        self.RLPipelinedRollout = False
 
         self.cfg_check()
 

@@ -151,8 +151,12 @@ class ArmConfig(ConfigBase):
         self.audioBackend = "gemm"  # 'gemm' (MXU DFT matmuls) | 'fft' (jnp.fft)
         self.simBackend = "builtin"  # 'builtin' numpy sim | 'pybullet' adapter
         self.vecEnvBackend = "auto"  # 'auto'|'dummy'|'shmem'
+        self.vecEnvContext = "forkserver"  # mp start method for shmem workers
         # fuse VAR reward + policy act into one device call per env step
         self.fusedRollout = True
+        # one-step-stale pipelined rollout: overlaps sim stepping with the
+        # device step + readback (train/rl.py); off = exact reference timing
+        self.RLPipelinedRollout = False
 
         self.cfg_check()
 

@@ -72,7 +72,8 @@ class TripletDataset:
         self.audio = audio
         self.rng = np.random.RandomState(seed)
 
-        images, gts, sn_ids, pos_feats, neg_feats = [], [], [], [], []
+        images, gts, sn_ids, sn_random, pos_feats, neg_feats = \
+            [], [], [], [], [], []
         self.has_sound = False
         for p in shard_paths:
             for item in load_shard(p):
@@ -85,17 +86,26 @@ class TripletDataset:
                     pos_feats.append(np.asarray(item["sound_positive"], np.float32))
                     neg_feats.append(np.asarray(item["sound_negative"], np.float32))
                     sn_ids.append(-1)
+                    sn_random.append(False)
                 else:
                     if "sound_negative_id" in item:
                         sn = int(np.asarray(item["sound_negative_id"]).reshape(()))
+                        sn_random.append(False)
                     else:
+                        # shard carries no negative id: the reference draws
+                        # one per __getitem__ (dataset.py:76-78), i.e. per
+                        # epoch for VARDataset; this draw is only the frozen
+                        # association used by VARFineTuneDataset
+                        # (dataset.py:110-112)
                         sn = int(self.rng.randint(0, config.taskNum))
                         if sn == gt:
                             sn = config.taskNum
+                        sn_random.append(True)
                     sn_ids.append(sn)
         self.images = np.stack(images) if images else np.zeros((0, 3, 96, 96), np.uint8)
         self.gts = np.asarray(gts, dtype=np.int32)
         self.sn_ids = np.asarray(sn_ids, dtype=np.int32)
+        self._sn_random = np.asarray(sn_random, dtype=bool)
         self.pos_feats = np.stack(pos_feats) if pos_feats else None
         self.neg_feats = np.stack(neg_feats) if neg_feats else None
 
@@ -117,6 +127,20 @@ class TripletDataset:
         # fine-tune: identical draws every epoch -> frozen association
         return np.random.RandomState(self._frozen_seed)
 
+    def _epoch_sn_ids(self, rng: np.random.RandomState) -> np.ndarray:
+        """Effective negative-class ids for one epoch. Rows whose shard
+        carried no 'sound_negative_id' are REDRAWN from `rng` (the reference
+        VARDataset redraws sn_id in every __getitem__, dataset.py:76-78);
+        the fine-tune subclass keeps the frozen __init__ draw."""
+        if not self.resample_each_epoch or not self._sn_random.any():
+            return self.sn_ids
+        sn = self.sn_ids.copy()
+        rows = self._sn_random
+        draws = rng.randint(0, self.config.taskNum, size=int(rows.sum()))
+        draws = np.where(draws == self.gts[rows], self.config.taskNum, draws)
+        sn[rows] = draws
+        return sn
+
     def iter_epoch(self, batch_size: int, epoch: int, shuffle: bool = True,
                    drop_last: bool = False) -> Iterator[TripletBatch]:
         n = len(self)
@@ -126,6 +150,7 @@ class TripletDataset:
             # only the image<->sound association is frozen
             np.random.RandomState(hash((self._frozen_seed, epoch)) % (2**31)).shuffle(order)
         clip_rng = self._epoch_rng(epoch)
+        sn_epoch = self._epoch_sn_ids(clip_rng)
 
         if not self.resample_each_epoch:
             # draw the frozen association over the *unshuffled* index order
@@ -133,7 +158,7 @@ class TripletDataset:
             pos_all, pos_len_all, pos_zero_all = self.audio.sample_clip_batch(
                 self.gts, clip_rng)
             neg_all, neg_len_all, neg_zero_all = self.audio.sample_clip_batch(
-                self.sn_ids, clip_rng)
+                sn_epoch, clip_rng)
 
         hetero = not self.audio.params_homogeneous()
         for start in range(0, n, batch_size):
@@ -151,7 +176,7 @@ class TripletDataset:
                     pos_feat=self.pos_feats[idx], neg_feat=self.neg_feats[idx],
                 )
                 continue
-            sn = self.sn_ids[idx]
+            sn = sn_epoch[idx]
             if hetero:
                 # mixed STFT params (e.g. the arm 'mix' preset): per-clip
                 # host MFCC with each clip's own params, exactly the
@@ -195,10 +220,11 @@ class TripletDataset:
         same frozen draw every epoch. Returns
         (pos_ids, pos_zero, neg_ids, neg_zero), each aligned to item index."""
         rng = self._epoch_rng(epoch)
+        sn_epoch = self._epoch_sn_ids(rng)
         pos_ids, pos_zero = self.audio.sample_clip_ids(
             self.gts, class_ranges, rng)
         neg_ids, neg_zero = self.audio.sample_clip_ids(
-            self.sn_ids, class_ranges, rng)
+            sn_epoch, class_ranges, rng)
         return pos_ids, pos_zero, neg_ids, neg_zero
 
     def epoch_order(self, epoch: int, shuffle: bool = True) -> np.ndarray:

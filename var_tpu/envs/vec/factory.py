@@ -45,7 +45,9 @@ def make_vec_envs(
         backend == "shmem" or (backend == "auto" and num_processes > 1)
     )
     if use_shmem:
-        envs = ShmemVecEnv(thunks, context="fork", audio=audio)
+        envs = ShmemVecEnv(
+            thunks, context=getattr(config, "vecEnvContext", "forkserver"),
+            audio=audio)
     else:
         envs = DummyVecEnv(thunks, audio=audio)
 

@@ -51,7 +51,13 @@ class CloudpickleWrapper:
 
 
 class ShmemVecEnv(VecEnv):
-    def __init__(self, env_fns, context="fork", audio=None):
+    def __init__(self, env_fns, context="forkserver", audio=None):
+        # default is forkserver, NOT the reference's fork: the learner
+        # process has a multithreaded JAX runtime by the time envs are
+        # built, and forking a multithreaded parent risks deadlocks (JAX
+        # warns about exactly this). Workers only need numpy + the env +
+        # AudioStore, all of which pickle; forkserver gives them a clean
+        # single-threaded parent. 'fork' remains available for callers.
         ctx = mp.get_context(context)
         # probe one env for spaces (the reference builds a dummy env the
         # same way — shmem_vec_env.py:33-37)

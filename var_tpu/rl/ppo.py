@@ -38,6 +38,12 @@ class PPOConfig(NamedTuple):
     eps: float
     max_grad_norm: float
     use_clipped_value_loss: bool = True
+    # None = auto: unroll the (epoch x minibatch) loop at trace time on CPU
+    # backends. scan(grad(GRU-scan)) triggers pathological SPMD compile
+    # times in XLA:CPU (>10 min on a virtual 8-device mesh) while the TPU
+    # backend compiles it in seconds; the unrolled loop is the same
+    # program semantically.
+    unroll_minibatches: bool = None
 
     @classmethod
     def from_config(cls, config):
@@ -108,13 +114,20 @@ class PPO:
         """batch: RolloutStorage.device_batch(). Returns (state, metrics)."""
         cfg = self.cfg
         T, N = batch["returns"].shape
+        if self.model.recurrent and N % cfg.num_mini_batch != 0:
+            raise ValueError(
+                f"PPO requires the number of envs ({N}) to be a multiple of "
+                f"the number of minibatches ({cfg.num_mini_batch}) for "
+                "recurrent updates (reference: storage.py:recurrent_generator)")
         n_per_mb = N // cfg.num_mini_batch
 
         advantages = batch["returns"] - batch["value_preds"]
-        advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-5)
+        # torch .std() is unbiased (ddof=1) — matched for parity
+        # (reference: algo/ppo.py:42-44)
+        advantages = (advantages - advantages.mean()) / (
+            advantages.std(ddof=1) + 1e-5)
 
         params, opt_state = state.params, state.opt_state
-        v_epoch = a_epoch = e_epoch = 0.0
 
         if not self.model.recurrent:
             # feed-forward generator: random minibatches over T*N
@@ -158,8 +171,20 @@ class PPO:
             params = optax.apply_updates(params, updates)
             return (params, opt_state), jnp.stack([v_l, a_l, ent])
 
-        (params, opt_state), stats = jax.lax.scan(
-            mb_body, (params, opt_state), idx_stack)
+        unroll = cfg.unroll_minibatches
+        if unroll is None:
+            unroll = jax.default_backend() == "cpu"
+        if unroll:
+            carry = (params, opt_state)
+            stats_list = []
+            for i in range(idx_stack.shape[0]):
+                carry, s = mb_body(carry, idx_stack[i])
+                stats_list.append(s)
+            params, opt_state = carry
+            stats = jnp.stack(stats_list)
+        else:
+            (params, opt_state), stats = jax.lax.scan(
+                mb_body, (params, opt_state), idx_stack)
         mean_stats = jnp.mean(stats, axis=0)
         metrics = {
             "value_loss": mean_stats[0],

@@ -76,6 +76,21 @@ class DeviceRolloutEngine:
         self.cliprew = cliprew
         self.epsilon = epsilon
         self.is_arm = extra_key == "robot_pose"
+        # sound-sound reward coefficient (reference:
+        # vec_pretext_normalize.py:96-101 — RLRewardSoundSound *
+        # dot(current_sound_feat, goal_sound_feat)); 0/False disables the
+        # current_sound encode entirely (resolved at trace time).
+        self.sound_sound = float(
+            getattr(config, "RLRewardSoundSound", 0.0) or 0.0)
+        # Eager D2H copies overlap the readback latency with host work on
+        # co-located chips, but the tunneled 'axon' backend mishandles
+        # copy_to_host_async (measured: it turns the following 33 ms
+        # readback into an ~80 s stall). The tunnel masquerades as a
+        # regular 'tpu' platform, so detect it via JAX_PLATFORMS.
+        import os
+
+        self._async_copy = "axon" not in os.environ.get("JAX_PLATFORMS", "")
+        self._reader = None  # lazy ThreadPoolExecutor for tunneled readbacks
         # multi-chip: shard every buffer's env axis over the mesh 'dp' axis
         # (the time axis stays unsharded); XLA inserts the cross-chip
         # reductions for the return-RMS statistics and the PPO grads
@@ -171,10 +186,10 @@ class DeviceRolloutEngine:
             goal_feat = cached_goal
         return image_feat, goal_feat
 
-    @functools.partial(jax.jit, static_argnums=(0, 10), donate_argnums=1)
+    @functools.partial(jax.jit, static_argnums=(0, 11), donate_argnums=1)
     def _collect_step(self, buffers: DeviceRollout, t, var_params,
-                      policy_params, image_u8, extra, goal_sound, packed_host,
-                      key, use_sound):
+                      policy_params, image_u8, extra, goal_sound,
+                      current_sound, packed_host, key, use_sound):
         """One env transition. packed_host: (N, 4) f32 [fresh, done,
         bad_mask, env_reward] from the host. Writes index t (transition)
         and t+1 (boundary), acts at obs_{t+1}, returns (buffers,
@@ -190,6 +205,15 @@ class DeviceRolloutEngine:
             use_sound)
         D = self.config.representationDim
         raw_reward = jnp.sum(image_feat[:, :D] * goal_feat, axis=1) + env_reward
+        if self.sound_sound:
+            # current_sound encoded through the same sound branch
+            # (the reference routes it through the negative slot,
+            # vec_pretext_normalize.py:90-93)
+            _, cur_feat = self.var_model.apply(
+                {"params": var_params}, current_sound,
+                method=self.var_model.encode_sound)
+            raw_reward = raw_reward + self.sound_sound * jnp.sum(
+                cur_feat * goal_feat, axis=1)
 
         # on-device return-RMS normalization (parallel moments over the N
         # running returns, matching ops/running_stats.py math)
@@ -284,8 +308,14 @@ class DeviceRolloutEngine:
             self._put_host(goal), self._put_host(fresh), key)
         return np.asarray(action)
 
-    def step(self, t: int, raw_obs, env_reward, done, bad_masks, key):
-        """Returns (action_next (host), raw_reward (host))."""
+    def step_async(self, t: int, raw_obs, env_reward, done, bad_masks, key):
+        """Dispatch one fused step; returns a handle WITHOUT blocking on
+        the device->host readback. The readback is started eagerly — via
+        copy_to_host_async on co-located chips, or a background reader
+        thread on the tunneled backend (the RPC releases the GIL) — so
+        its latency overlaps any host work done before read_packed(): the
+        basis of the pipelined rollout (one-step-stale action protocol in
+        train/rl.py)."""
         goal = np.asarray(raw_obs["goal_sound"], np.float32)
         fresh = np.isfinite(goal.reshape(self.N, -1)[:, 0])
         use_sound = bool(fresh.any())
@@ -293,16 +323,46 @@ class DeviceRolloutEngine:
             [fresh.astype(np.float32), np.asarray(done, np.float32),
              np.asarray(bad_masks, np.float32).reshape(self.N),
              np.asarray(env_reward, np.float32)], axis=1)
+        if self.sound_sound:
+            cur = self._put_host(
+                np.asarray(raw_obs["current_sound"], np.float32))
+        else:
+            cur = self._put_host(np.zeros((1,), np.float32), env_axis0=False)
         self.buffers, packed_out = self._collect_step(
             self.buffers, jnp.asarray(t, jnp.int32), self.var_params,
             self._policy_params, self._put_host(raw_obs["image"]),
-            self._put_host(self._extra(raw_obs)), self._put_host(goal),
+            self._put_host(self._extra(raw_obs)), self._put_host(goal), cur,
             self._put_host(packed_host), key, use_sound)
-        packed = np.asarray(packed_out)  # THE one readback per step
+        if self._async_copy:
+            try:
+                packed_out.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - older jax arrays
+                pass
+            return packed_out
+        # tunneled backend: start the blocking readback on a worker thread
+        # now, so the ~33 ms RPC runs while the host steps the simulators
+        if self._reader is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._reader = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="d2h-reader")
+        return self._reader.submit(np.asarray, packed_out)
+
+    def read_packed(self, handle):
+        """Block on one dispatched step: (action (host), raw_reward (host))."""
+        if hasattr(handle, "result"):  # reader-thread future
+            packed = handle.result()
+        else:
+            packed = np.asarray(handle)  # THE one readback per step
         action = packed[:, :-1]
         if self.buffers.actions.dtype == jnp.int32:
             action = action.astype(np.int32)
         return action, packed[:, -1]
+
+    def step(self, t: int, raw_obs, env_reward, done, bad_masks, key):
+        """Returns (action_next (host), raw_reward (host))."""
+        return self.read_packed(
+            self.step_async(t, raw_obs, env_reward, done, bad_masks, key))
 
     def _extra(self, raw_obs):
         v = np.asarray(raw_obs[self.extra_key])

@@ -161,7 +161,18 @@ class RLTrainer:
         start = time.time()
         num_updates = total_steps // T // N
 
+        # Pipelined mode (RLPipelinedRollout): the env applies the action
+        # computed from the PREVIOUS observation (one-step-stale protocol),
+        # so the simulator step + upload/dispatch overlap the device
+        # compute and the tunnel readback of the in-flight step. The stored
+        # rollout stays self-consistent — action_t is still the policy's
+        # draw at obs_t with its log-prob/value — only the environment
+        # dynamics gain a one-step action delay, which the recurrent policy
+        # absorbs. Exact reference timing (default) blocks on every step.
+        pipelined = bool(getattr(cfg, "RLPipelinedRollout", False))
+
         for j in range(num_updates):
+            pending = None  # (packed_out, done) not yet read back
             for step in range(T):
                 with self.timer.phase("env_step"):
                     raw_obs, env_rew, done, infos = envs.step(action)
@@ -170,10 +181,28 @@ class RLTrainer:
                      for info in infos], np.float32)
                 self.rng, sub = jax.random.split(self.rng)
                 with self.timer.phase("fused_step"):
-                    action, raw_rew = engine.step(
+                    fut = engine.step_async(
                         step, raw_obs, env_rew, done, bad_masks_np, sub)
+                    if pipelined:
+                        if pending is not None:
+                            action, raw_rew = engine.read_packed(pending[0])
+                            done_r = pending[1]
+                        else:  # first step: keep acting with the reset action
+                            raw_rew, done_r = np.zeros(N), np.zeros(N, bool)
+                        pending = (fut, done)
+                    else:
+                        action, raw_rew = engine.read_packed(fut)
+                        done_r = done
                 env_rewards = env_rewards + raw_rew
-                for index in np.where(done)[0]:
+                for index in np.where(done_r)[0]:
+                    episode_rewards.append(env_rewards[index])
+                    env_rewards[index] = 0.0
+            if pending is not None:
+                # drain the in-flight step so the next rollout starts with
+                # the freshest action and the reward bookkeeping is exact
+                action, raw_rew = engine.read_packed(pending[0])
+                env_rewards = env_rewards + raw_rew
+                for index in np.where(pending[1])[0]:
                     episode_rewards.append(env_rewards[index])
                     env_rewards[index] = 0.0
 
