@@ -46,7 +46,7 @@ def _make_batches(n_batches: int, seed: int = 0):
     return cfg, audio, batches
 
 
-def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 50):
+def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 160):
     """The production pretext path: device-resident dataset (images + clip
     bank uploaded once), per-step transfer = int32 indices only, MFCC +
     forward + update fused in one program. Host index sampling included."""

@@ -4,6 +4,8 @@ Validates that the dp-sharded train steps compile, execute, and agree with
 single-device execution — the property the real ICI deployment relies on
 (XLA inserts the gradient all-reduce; replicated params must stay in sync).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -34,10 +36,51 @@ def test_pad_to_multiple():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("VAR_TPU_RUN_DRYRUN_TEST") != "1",
+    reason="duplicates the driver's own MULTICHIP dryrun check (~5 min on "
+           "one core); set VAR_TPU_RUN_DRYRUN_TEST=1 to run it in-tree")
 def test_graft_dryrun_8dev():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_init_distributed_noop_single_host():
+    """Without a coordinator or process count, init_distributed must be a
+    no-op (safe to call unconditionally from drivers)."""
+    from var_tpu.parallel.mesh import init_distributed
+
+    init_distributed()  # must not raise or touch jax.distributed
+    assert jax.process_count() == 1
+
+
+@pytest.mark.slow
+def test_init_distributed_loopback():
+    """Full jax.distributed coordination handshake, loopback
+    (num_processes=1), in a fresh subprocess (the service must start
+    before backend resolution, which pytest already did here)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from var_tpu.parallel.mesh import init_distributed\n"
+        "init_distributed('localhost:12973', num_processes=1, process_id=0)\n"
+        "import jax\n"
+        "assert jax.process_count() == 1, jax.process_count()\n"
+        "assert jax.process_index() == 0\n"
+        "import jax.numpy as jnp\n"
+        "assert float(jnp.arange(4.0).sum()) == 6.0\n"
+        "print('DIST_OK')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=240)
+    assert "DIST_OK" in out.stdout, out.stdout + "\n" + out.stderr
 
 
 @pytest.mark.slow

@@ -451,6 +451,96 @@ class AudioStore:
         zero_mask = class_ids >= self.config.taskNum
         return ids.astype(np.int32), zero_mask
 
+    # -- heterogeneous presets: one bank per STFT param set -----------------
+
+    def param_sets(self) -> List[STFTParams]:
+        """Distinct STFT param sets across the configured datasets, in
+        first-appearance order (e.g. the arm 'mix' preset GoogleCommand
+        512/160 + UrbanSound 1024/640 -> two sets; reference params table
+        Envs/audioLoader.py:23-31)."""
+        ds = self.config.soundSource["dataset"]
+        ds_list = [ds] if isinstance(ds, str) else list(ds)
+        seen: List[STFTParams] = []
+        for d in ds_list:
+            p = self.param_dict[d]
+            if p not in seen:
+                seen.append(p)
+        return seen
+
+    def buf_len_for(self, param: STFTParams) -> int:
+        return self.config.sound_dim[1] * param.hop_length + param.n_fft
+
+    def build_clip_banks(self):
+        """Device-residency packing for HETEROGENEOUS presets: one packed
+        (M_k, buf_len_k) int16 bank per distinct STFT param set, plus a
+        per-class dataset index preserving the reference's two-level
+        sampling order (dataset uniform, then clip —
+        Envs/audioLoader.py:166-185 getAudioSamples).
+
+        Returns (banks, class_entries):
+          banks: list of (param, wav (M_k, buf_len_k) int16, lengths (M_k,))
+          class_entries: class -> list of (bank_idx, lo, hi) row ranges,
+            one per dataset the class has clips in.
+        Only the pybullet (intent-keyed) store supports mixed datasets;
+        ai2thor always uses the single FSC param set.
+        """
+        if self.env_type != "pybullet":
+            raise NotImplementedError(
+                "multi-bank packing is only defined for intent-keyed stores")
+        params = self.param_sets()
+        pidx = {p: k for k, p in enumerate(params)}
+        rows: List[list] = [[] for _ in params]
+        lens: List[list] = [[] for _ in params]
+        class_entries: List[list] = []
+        for c in range(self.config.taskNum):
+            entries = []
+            for ds_name, clips in self.words[c].items():
+                p = self.param_dict.get(ds_name, params[0])
+                k = pidx.get(p, 0)
+                p = params[k]
+                lo = len(rows[k])
+                buf_len = self.buf_len_for(p)
+                for clip in clips:
+                    max_samples = buf_len - p.n_fft
+                    if len(clip) > max_samples:
+                        clip = clip[:max_samples]
+                    rows[k].append(pack_waveform(clip, buf_len, p.n_fft,
+                                                 keep_int16=True))
+                    lens[k].append(len(clip))
+                entries.append((k, lo, len(rows[k])))
+            class_entries.append(entries)
+        banks = []
+        for k, p in enumerate(params):
+            if not rows[k]:  # keep every bank non-empty for static shapes
+                rows[k].append(np.zeros(self.buf_len_for(p), np.int16))
+                lens[k].append(p.hop_length)
+            banks.append((p, np.stack(rows[k]).astype(np.int16),
+                          np.asarray(lens[k], dtype=np.int32)))
+        return banks, class_entries
+
+    def sample_clip_ids_multi(self, class_ids: np.ndarray, class_entries,
+                              n_banks: int, rng: np.random.RandomState):
+        """Row ids + bank selectors for the multi-bank step.
+
+        Returns (ids (B, K) int32 — row per bank, 0 where unselected;
+        sel (B, K) bool — exactly one True per non-empty row;
+        zero (B,) bool — empty-intent rows, all-False selectors)."""
+        class_ids = np.asarray(class_ids)
+        B = len(class_ids)
+        ids = np.zeros((B, n_banks), np.int32)
+        sel = np.zeros((B, n_banks), bool)
+        zero = np.zeros((B,), bool)
+        for i, c in enumerate(class_ids):
+            c = int(c)
+            if c >= self.config.taskNum:
+                zero[i] = True
+                continue
+            entries = class_entries[c]
+            k, lo, hi = entries[rng.randint(len(entries))]
+            ids[i, k] = lo + rng.randint(hi - lo)
+            sel[i, k] = True
+        return ids, sel, zero
+
 
 class _Tsk:
     def __init__(self, loc, obj, act):

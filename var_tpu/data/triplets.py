@@ -227,6 +227,19 @@ class TripletDataset:
             sn_epoch, class_ranges, rng)
         return pos_ids, pos_zero, neg_ids, neg_zero
 
+    def epoch_clip_ids_multi(self, class_entries, n_banks: int, epoch: int):
+        """Multi-bank variant for heterogeneous STFT presets: per-row bank
+        row ids + bank selectors (audio_store.sample_clip_ids_multi), same
+        epoch/frozen RNG semantics as epoch_clip_ids. Returns
+        ((pos_ids, pos_sel, pos_zero), (neg_ids, neg_sel, neg_zero))."""
+        rng = self._epoch_rng(epoch)
+        sn_epoch = self._epoch_sn_ids(rng)
+        pos = self.audio.sample_clip_ids_multi(
+            self.gts, class_entries, n_banks, rng)
+        neg = self.audio.sample_clip_ids_multi(
+            sn_epoch, class_entries, n_banks, rng)
+        return pos, neg
+
     def epoch_order(self, epoch: int, shuffle: bool = True) -> np.ndarray:
         order = np.arange(len(self))
         if shuffle:

@@ -19,22 +19,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None):
+                     process_id: Optional[int] = None,
+                     coordinator_bind_address: Optional[str] = None):
     """Multi-host initialization (DCN between hosts, ICI within).
 
     The reference has no multi-host story at all; here a multi-host launch
     is `jax.distributed.initialize` + the same mesh/sharding code — the
     global device list then spans hosts and batch shards ride DCN only at
     the host boundary. No-op when launched single-host (TPU pods set the
-    coordinator via environment variables automatically)."""
+    coordinator via environment variables automatically).
+
+    Two-host launch recipe (call before any jax computation):
+
+        # host 0 (also runs the coordinator)
+        init_distributed("host0:8476", num_processes=2, process_id=0)
+        # host 1
+        init_distributed("host0:8476", num_processes=2, process_id=1)
+
+    then build_mesh() sees the global device list; batch shards cross the
+    host boundary over DCN, within-host over ICI. The loopback form
+    (num_processes=1, process_id=0) runs the full coordination-service
+    handshake on one process and is smoke-tested in
+    tests/test_sharding.py::test_init_distributed_loopback."""
     import jax
 
     if num_processes is None and coordinator_address is None:
         return  # single-host
+    if coordinator_bind_address is None and coordinator_address is not None:
+        # jax's default derivation binds the wildcard IPv6 interface,
+        # which fails silently on IPv6-less hosts (the workers then spin
+        # on 'Connection refused'); bind the advertised address instead.
+        coordinator_bind_address = coordinator_address
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        coordinator_bind_address=coordinator_bind_address,
     )
 
 

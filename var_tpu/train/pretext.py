@@ -76,6 +76,8 @@ class PretextTrainer:
         self._mesh = None
         self._batch_sharding = None
         self._replicated = None
+        self._multi_params = None  # STFT param tuple (heterogeneous presets)
+        self._multi_scan = None
 
     # -- setup -------------------------------------------------------------
 
@@ -233,23 +235,122 @@ class PretextTrainer:
 
     def _upload_dataset(self, ds):
         """Build the device-resident dataset: images + clip bank + lengths.
-        Returns None when the dataset carries precomputed sound features or
-        when STFT params are heterogeneous (mixed-dataset presets —
-        host per-clip features via the streaming path instead)."""
-        if ds.has_sound or len(ds) == 0 or not self.audio.params_homogeneous():
+
+        Homogeneous presets use one packed bank; heterogeneous presets
+        (e.g. the arm 'mix': GoogleCommand 512/160 + UrbanSound 1024/640)
+        get one bank PER STFT param set with per-row bank selectors — the
+        train step runs one fused MFCC per param set and merges by row
+        mask, so mixed presets keep the full device path instead of
+        falling back to host per-clip MFCC. Returns None only when the
+        dataset carries precomputed sound features (nothing to fuse)."""
+        if ds.has_sound or len(ds) == 0:
             return None
-        bank, lengths, ranges = self.audio.build_clip_bank()
-        dev = {
-            "images": jax.device_put(ds.images),
-            "wav": jax.device_put(bank),
-            "len": jax.device_put(lengths),
-            "ranges": ranges,  # host-side (index sampling happens on host)
+
+        def put(x):
+            if self._replicated is not None:
+                return jax.device_put(x, self._replicated)
+            return jax.device_put(x)
+
+        if self.audio.params_homogeneous():
+            bank, lengths, ranges = self.audio.build_clip_bank()
+            return {
+                "images": put(ds.images),
+                "wav": put(bank),
+                "len": put(lengths),
+                "ranges": ranges,  # host-side (index sampling on host)
+            }
+        if self.audio.env_type != "pybullet":
+            return None  # mixed params cannot occur for the FSC store
+        banks, entries = self.audio.build_clip_banks()
+        self._multi_params = tuple(p for p, _, _ in banks)
+        return {
+            "images": put(ds.images),
+            "multi_wav": tuple(put(wav) for _, wav, _ in banks),
+            "multi_len": tuple(put(lens) for _, _, lens in banks),
+            "entries": entries,  # host-side sampling index
         }
-        if self._replicated is not None:
-            dev["images"] = jax.device_put(ds.images, self._replicated)
-            dev["wav"] = jax.device_put(bank, self._replicated)
-            dev["len"] = jax.device_put(lengths, self._replicated)
-        return dev
+
+    def _multi_scan_fn(self):
+        """Epoch scan for heterogeneous presets: one fused MFCC per STFT
+        param set, rows merged by bank selector (see _upload_dataset).
+        Built lazily as a jitted closure over the static param tuple."""
+        if getattr(self, "_multi_scan", None) is not None:
+            return self._multi_scan
+        backend = self.config.audioBackend
+        target = self.config.sound_dim[1]
+        params_list = self._multi_params
+        loss_fn = self._loss_fn
+        tx = self.tx
+
+        def feats(bank_wavs, bank_lens, ids, sel, zero):
+            total = None
+            for k, p in enumerate(params_list):
+                zm = jnp.logical_or(~sel[:, k], zero)
+                f = sound_features(
+                    jnp.take(bank_wavs[k], ids[:, k], axis=0),
+                    jnp.take(bank_lens[k], ids[:, k], axis=0),
+                    target, p, backend=backend, zero_mask=zm)
+                total = f if total is None else total + f
+            return total
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def scan_fn(state, bank_img, bank_wavs, bank_lens, img_idx,
+                    pos_ids, pos_sel, pos_zero, neg_ids, neg_sel, neg_zero):
+            def body(state, xs):
+                i_img, i_pos, s_pos, z_pos, i_neg, s_neg, z_neg = xs
+                image = jnp.take(bank_img, i_img, axis=0)
+                pos_feat = feats(bank_wavs, bank_lens, i_pos, s_pos, z_pos)
+                neg_feat = feats(bank_wavs, bank_lens, i_neg, s_neg, z_neg)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, image, pos_feat, neg_feat)
+                updates, opt_state = tx.update(
+                    grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1), loss
+
+            return jax.lax.scan(
+                body, state,
+                (img_idx, pos_ids, pos_sel, pos_zero,
+                 neg_ids, neg_sel, neg_zero))
+
+        self._multi_scan = scan_fn
+        return scan_fn
+
+    def _multi_step_fn(self):
+        """Single-step variant of _multi_scan_fn (the CPU epoch unroll)."""
+        if getattr(self, "_multi_step", None) is not None:
+            return self._multi_step
+        backend = self.config.audioBackend
+        target = self.config.sound_dim[1]
+        params_list = self._multi_params
+        loss_fn = self._loss_fn
+        tx = self.tx
+
+        def feats(bank_wavs, bank_lens, ids, sel, zero):
+            total = None
+            for k, p in enumerate(params_list):
+                zm = jnp.logical_or(~sel[:, k], zero)
+                f = sound_features(
+                    jnp.take(bank_wavs[k], ids[:, k], axis=0),
+                    jnp.take(bank_lens[k], ids[:, k], axis=0),
+                    target, p, backend=backend, zero_mask=zm)
+                total = f if total is None else total + f
+            return total
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step_fn(state, bank_img, bank_wavs, bank_lens, i_img,
+                    i_pos, s_pos, z_pos, i_neg, s_neg, z_neg):
+            image = jnp.take(bank_img, i_img, axis=0)
+            pos_feat = feats(bank_wavs, bank_lens, i_pos, s_pos, z_pos)
+            neg_feat = feats(bank_wavs, bank_lens, i_neg, s_neg, z_neg)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, image, pos_feat, neg_feat)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        self._multi_step = step_fn
+        return step_fn
 
     @functools.partial(jax.jit, static_argnums=0)
     def _embed_batch(self, params, image, pos_feat):
@@ -370,8 +471,6 @@ class PretextTrainer:
         scanned program (_train_epoch_scan). The last ragged batch wraps
         around so all steps share one static shape."""
         order = ds.epoch_order(epoch, shuffle=True)
-        pos_ids, pos_zero, neg_ids, neg_zero = ds.epoch_clip_ids(
-            bank["ranges"], epoch)
         n = len(order)
         steps = max(1, -(-n // batch_size))
         reps = -(-(steps * batch_size) // max(1, n))
@@ -387,6 +486,54 @@ class PretextTrainer:
                 return jax.device_put(x, s)
             return jnp.asarray(x)
 
+        def put1(x):  # per-step (B, ...) arrays: batch axis leads
+            if self._batch_sharding is not None:
+                return jax.device_put(x, self._batch_sharding)
+            return jnp.asarray(x)
+
+        # XLA:CPU compiles scan(grad(...)) pathologically slowly when the
+        # body itself differentiates a lax.scan (the CRNN BiGRU: measured
+        # 7 s for the plain grad step vs >9 min inside the epoch scan), so
+        # on CPU the epoch runs as a Python loop over the SAME jitted step
+        # — identical math, one compile. TPU keeps the one-program epoch.
+        unroll = jax.default_backend() == "cpu"
+
+        if "multi_wav" in bank:  # heterogeneous preset: per-param banks
+            pos, neg = ds.epoch_clip_ids_multi(
+                bank["entries"], len(bank["multi_wav"]), epoch)
+            if unroll:
+                step_fn = self._multi_step_fn()
+                losses = []
+                for s in range(idx.shape[0]):
+                    i = idx[s]
+                    self.state, loss = step_fn(
+                        self.state, bank["images"], bank["multi_wav"],
+                        bank["multi_len"], put1(i),
+                        put1(pos[0][i]), put1(pos[1][i]), put1(pos[2][i]),
+                        put1(neg[0][i]), put1(neg[1][i]), put1(neg[2][i]))
+                    losses.append(loss)
+                return [float(l) for l in losses], n
+            scan_fn = self._multi_scan_fn()
+            self.state, losses = scan_fn(
+                self.state, bank["images"], bank["multi_wav"],
+                bank["multi_len"], put(idx),
+                put(pos[0][idx]), put(pos[1][idx]), put(pos[2][idx]),
+                put(neg[0][idx]), put(neg[1][idx]), put(neg[2][idx]),
+            )
+            return list(np.asarray(losses)), n
+
+        pos_ids, pos_zero, neg_ids, neg_zero = ds.epoch_clip_ids(
+            bank["ranges"], epoch)
+        if unroll:
+            losses = []
+            for s in range(idx.shape[0]):
+                i = idx[s]
+                self.state, loss = self._train_step_indexed(
+                    self.state, bank["images"], bank["wav"], bank["len"],
+                    put1(i), put1(pos_ids[i]), put1(pos_zero[i]),
+                    put1(neg_ids[i]), put1(neg_zero[i]))
+                losses.append(loss)
+            return [float(l) for l in losses], n
         self.state, losses = self._train_epoch_scan(
             self.state, bank["images"], bank["wav"], bank["len"],
             put(idx), put(pos_ids[idx]), put(pos_zero[idx]),
@@ -508,29 +655,45 @@ class PretextTrainer:
         return out_path
 
     def manuallyCollectPretextData(self, input_fn=None,
-                                   max_steps: Optional[int] = None):
+                                   max_steps: Optional[int] = None,
+                                   realtime_plot=None):
         """Manual triplet collection (reference: pretext.py:113-133 +
         the env's 'r'/'z' keys, fourInARow.py:361-389).
 
-        Line-based: empty line steps the env (random walk / teleport),
-        'r' stores the current pair in the env's buffer, 'z' flushes the
-        buffer to a timestamped shard, 'quit' exits (auto-flushing)."""
+        On a real TTY: raw single-key control (any key steps the env,
+        'r' stores the current pair, 'z' flushes to a timestamped shard,
+        'q' exits) via the reference's termios protocol
+        (var_tpu/utils/teleop.py). Piped/scripted stdin falls back to
+        line commands ('', 'r', 'z', 'quit').
+
+        With config.realTimeVec the current image embedding is drawn live
+        as a quiver on the representation sphere (reference:
+        pretext.py:267-290 initRealTimePlot / realTimeVec loop), in an
+        interactive window when a display exists, else saved to
+        realtime_vec.png in pretextModelSaveDir each step."""
         from var_tpu.envs.core import make
+        from var_tpu.utils.teleop import make_input_fn
 
         cfg = self.config
         self._ensure_audio()
         env = make(cfg.pretextEnvName)
         env.unwrapped.audio = self.audio
         env.seed(cfg.pretextEnvSeed)
-        input_fn = input_fn or (lambda: input("collect [step|r|z|quit]> "))
+        input_fn = input_fn or make_input_fn("collect [step|r|z|quit]> ")
+
+        rt_plot = realtime_plot
+        if cfg.realTimeVec and rt_plot is None:
+            rt_plot = self._init_realtime_plot()
         obs = env.reset()
+        if rt_plot is not None:
+            self._draw_realtime(rt_plot, obs, env)
         steps = 0
         while max_steps is None or steps < max_steps:
             try:
                 cmd = (input_fn() or "").strip()
             except (EOFError, StopIteration):
                 break
-            if cmd == "quit":
+            if cmd in ("quit", "q"):
                 break
             if cmd == "r":
                 env.unwrapped.saved_pairs.append(
@@ -546,9 +709,47 @@ class PretextTrainer:
             steps += 1
             if done:
                 obs = env.reset()
+            if rt_plot is not None:
+                self._draw_realtime(rt_plot, obs, env)
         path = env.unwrapped.saveManualPairs()
+        if rt_plot is not None:
+            rt_plot.close()
         env.close()
         return path
+
+    def _init_realtime_plot(self):
+        """Background scatter = the existing dataset projected through the
+        loaded VAR (reference: pretext.py:267-290)."""
+        from var_tpu.utils.plotting import RealTimeEmbeddingPlot
+
+        cfg = self.config
+        if self.variables is None:
+            if os.path.exists(cfg.pretextModelLoadDir):
+                self.loadPretextModel()
+            else:
+                self.init_model()
+        pts = None
+        try:
+            ds = load_env_data(cfg, self.audio)
+            if len(ds):
+                pts = self.project_embeddings(ds)
+        except (FileNotFoundError, RuntimeError):
+            pass  # no collected data yet: empty sphere background
+        return RealTimeEmbeddingPlot(pts, cfg.representationDim)
+
+    def _draw_realtime(self, rt_plot, obs, env):
+        image = np.asarray(obs["image"])[None]  # uint8; /255 on device
+        pos_feat = jnp.zeros((1,) + tuple(self.config.sound_dim), jnp.float32)
+        img_f, _ = self._embed_batch(
+            self.state.params if self.state else self.variables["params"],
+            jnp.asarray(image), pos_feat)
+        rt_plot.draw_arrows(
+            np.asarray(img_f), None,
+            text=f"pairs {len(env.unwrapped.saved_pairs)}")
+        if not rt_plot.interactive:
+            os.makedirs(self.config.pretextModelSaveDir, exist_ok=True)
+            rt_plot.save(os.path.join(
+                self.config.pretextModelSaveDir, "realtime_vec.png"))
 
     # -- mode dispatch (reference: pretext.py:292-328 run) -------------------
 

@@ -450,15 +450,23 @@ class RLTrainer:
                       frame_dir: Optional[str] = None):
         """Drive one env by keyboard.
 
-        The reference reads raw single keys via termios and shows a window;
-        here input is line-based (works over any terminal) and frames are
-        written to `frame_dir` when headless. `input_fn` can inject a
-        scripted command stream (tests). Commands: the env's
-        keyBoardMapping keys (ai2thor: w/s/a/d/q/e/T/t) or 'dx dy' floats
-        (arm), empty line repeats, 'quit' exits."""
+        On a real TTY the env's keyBoardMapping keys are read as raw
+        single keypresses via termios (the reference's protocol,
+        RL_env_VAR.py:684-692); piped/scripted stdin falls back to line
+        commands, and the arm's continuous 'dx dy' float actions are
+        always line-based. Frames are written to `frame_dir` when
+        headless. `input_fn` can inject a scripted command stream (tests).
+        'quit' (or Ctrl-C in raw mode) exits."""
+        from var_tpu.utils.teleop import make_input_fn
+
         cfg = self.config
         envs = self._make_envs(1, cfg.RLGamma)
-        input_fn = input_fn or (lambda: input("action> "))
+        if input_fn is None:
+            if getattr(cfg, "keyBoardMapping", None) is not None:
+                input_fn = make_input_fn("action> ")  # single-key on a TTY
+            else:
+                # continuous 'dx dy' float actions need whole lines
+                input_fn = make_input_fn("action> ", single_key=False)
         frame_dir = frame_dir or cfg.episodeImgSaveDir
         os.makedirs(frame_dir, exist_ok=True)
         mapping = getattr(cfg, "keyBoardMapping", None)

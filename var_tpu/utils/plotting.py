@@ -48,3 +48,88 @@ def plot_representation(points: dict, representation_dim: int, out_path: str):
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def display_available() -> bool:
+    """True when an interactive matplotlib window can be opened."""
+    import os
+
+    return bool(os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"))
+
+
+class RealTimeEmbeddingPlot:
+    """Live embedding view for manual collection (reference:
+    pretext.py:267-290 initRealTimePlot + utils.py:24-40 drawArrows).
+
+    Interactive mode (a display exists): plt.ion() window with the dataset
+    scatter; draw_arrows() redraws the current image/sound embedding
+    quivers via draw_idle + a short event loop, exactly the reference's
+    protocol. Headless mode: same figure on the Agg canvas; save() writes
+    the current frame to disk so the live view stays inspectable.
+    """
+
+    def __init__(self, points: dict, representation_dim: int,
+                 interactive: "bool | None" = None):
+        import matplotlib
+
+        self.interactive = (display_available() if interactive is None
+                            else interactive)
+        if not self.interactive:
+            matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        self._plt = plt
+        if self.interactive:  # pragma: no cover - needs a display
+            plt.ion()
+        self.fig = plt.figure(figsize=(6, 6))
+        self.ax = self.fig.add_subplot(projection="3d")
+        u, v = np.mgrid[0 : 2 * np.pi : 24j, 0 : np.pi : 12j]
+        self.ax.plot_wireframe(
+            np.cos(u) * np.sin(v), np.sin(u) * np.sin(v), np.cos(v),
+            color="lightgray", linewidth=0.3)
+        if points:
+            img, sound = points["img"], points["sound"]
+            self.ax.scatter(img[:, 0], img[:, 1], img[:, 2], c=img[:, -1],
+                            marker="o", cmap="tab10", alpha=0.5)
+            self.ax.scatter(sound[:, 0], sound[:, 1], sound[:, 2],
+                            c=sound[:, -1], marker="^", cmap="tab10",
+                            alpha=0.5)
+        # status text slot (reference: fig.text at y=0.12)
+        self.fig_text = self.fig.text(
+            x=0.5, y=0.12, s="", fontsize=14, ha="center", color="blue")
+        self.quiver_img = None
+        self.quiver_sound = None
+        self._flush()
+
+    def _flush(self):
+        if self.interactive:  # pragma: no cover - needs a display
+            self.fig.canvas.draw_idle()
+            self.fig.canvas.start_event_loop(0.001)
+
+    def draw_arrows(self, v_img=None, v_sound=None, text: str = ""):
+        """Replace the current embedding quivers (reference drawArrows:
+        remove previous, draw row 0 of each batch from the origin)."""
+        if self.quiver_img is not None:
+            self.quiver_img.remove()
+            self.quiver_img = None
+        if v_img is not None:
+            v = np.asarray(v_img)[0]
+            self.quiver_img = self.ax.quiver(
+                0.0, 0.0, 0.0, v[0], v[1], v[2], color="m", alpha=0.6, lw=3)
+        if self.quiver_sound is not None:
+            self.quiver_sound.remove()
+            self.quiver_sound = None
+        if v_sound is not None:
+            v = np.asarray(v_sound)[0]
+            self.quiver_sound = self.ax.quiver(
+                0.0, 0.0, 0.0, v[0], v[1], v[2], color="c", alpha=1.0, lw=3)
+        if text:
+            self.fig_text.set_text(text)
+        self._flush()
+
+    def save(self, out_path: str) -> str:
+        self.fig.savefig(out_path, dpi=100, bbox_inches="tight")
+        return out_path
+
+    def close(self):
+        self._plt.close(self.fig)
