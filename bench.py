@@ -201,19 +201,19 @@ def bench_rl():
     try:
         import rl_bench
 
+        # headline = exact reference semantics, same protocol as the twin;
+        # the one-step-stale pipelined mode is a separate (default-off) number
         ours_exact = rl_bench.bench_ours()
         ours_pipe = rl_bench.bench_ours(pipelined=True)
-        best = max(ours_exact, ours_pipe)
         print(f"# rl ours: exact {ours_exact:.1f}, pipelined "
               f"{ours_pipe:.1f} env-steps/s", file=sys.stderr)
         ref = rl_bench.bench_torch_cpu()
         print(f"# rl torch-cpu twin: {ref:.1f} env-steps/s", file=sys.stderr)
         return {
             "metric": "ppo_env_steps_per_sec",
-            "value": round(best, 1),
+            "value": round(ours_exact, 1),
             "unit": "env-steps/s",
-            "vs_baseline": round(best / ref, 2) if ref else None,
-            "exact_mode": round(ours_exact, 1),
+            "vs_baseline": round(ours_exact / ref, 2) if ref else None,
             "pipelined_mode": round(ours_pipe, 1),
         }
     except Exception as e:  # pragma: no cover - defensive

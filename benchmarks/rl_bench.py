@@ -235,14 +235,17 @@ def bench_torch_cpu(updates: int = 1, t_steps: int = T):
         for t in range(Tn):
             raw, er, done, infos = envs.step(action)
             img = torch.from_numpy(raw["image"].astype(np.float32) / 255.0)
+            # the obs after a done is the auto-reset obs: reset the hidden
+            # state BEFORE acting on it (matches the jax engine's
+            # mask_next = 1 - done ordering in rollout_device.py)
+            masks[t + 1] = torch.from_numpy((~done).astype(np.float32))
             with torch.no_grad():
                 feat = var.encode_image(img)      # per-step frozen VAR
                 rews[t] = (feat * goal_feat).sum(-1) + torch.as_tensor(
                     er, dtype=torch.float32)
-                a, lp, v, hx = pol.act(img, hx, masks[t])
+                a, lp, v, hx = pol.act(img, hx, masks[t + 1])
             action = a.numpy()
             imgs[t], acts[t], logps[t], vals[t] = img, a, lp, v
-            masks[t + 1] = torch.from_numpy((~done).astype(np.float32))
         with torch.no_grad():
             z = pol.cnn(imgs[-1])
             out, _ = pol.gru(z.unsqueeze(0), hx * masks[-1].view(1, -1, 1))
@@ -265,7 +268,7 @@ def bench_torch_cpu(updates: int = 1, t_steps: int = T):
                 img_mb = imgs[:, env_idx].reshape(Tn * B, 3, 96, 96)
                 act_mb = acts[:, env_idx].reshape(Tn * B, 2)
                 v_new, logp_new, ent = pol.evaluate(
-                    img_mb, hx0[:, env_idx], masks[:Tn, env_idx], act_mb,
+                    img_mb, hx0[:, env_idx], masks[1:, env_idx], act_mb,
                     Tn, B)
                 old_lp = logps[:, env_idx].reshape(Tn * B)
                 ratio = torch.exp(logp_new - old_lp)
@@ -292,11 +295,13 @@ def bench_torch_cpu(updates: int = 1, t_steps: int = T):
 
 
 def main():
+    # headline = exact reference semantics (blocking rollout), matching
+    # the torch twin's protocol; the one-step-stale pipelined mode is
+    # reported separately (it changes rollout semantics, default-off)
     ours = bench_ours()
     print(f"# ours (exact): {ours:.1f} env-steps/s", file=sys.stderr)
     ours_pipe = bench_ours(pipelined=True)
     print(f"# ours (pipelined): {ours_pipe:.1f} env-steps/s", file=sys.stderr)
-    best = max(ours, ours_pipe)
     try:
         ref = bench_torch_cpu()  # same T as ours — no normalization needed
         print(f"# torch-cpu reference twin: {ref:.1f} env-steps/s",
@@ -306,10 +311,9 @@ def main():
         ref = None
     print(json.dumps({
         "metric": "ppo_env_steps_per_sec",
-        "value": round(best, 1),
+        "value": round(ours, 1),
         "unit": "env-steps/s",
-        "vs_baseline": round(best / ref, 2) if ref else None,
-        "exact_mode": round(ours, 1),
+        "vs_baseline": round(ours / ref, 2) if ref else None,
         "pipelined_mode": round(ours_pipe, 1),
         "torch_cpu_baseline": round(ref, 1) if ref else None,
         "rollout_T": T,

@@ -81,6 +81,28 @@ def test_shmem_vecenv_matches_dummy():
     shmem.close()
 
 
+def test_shmem_forkserver_with_registry(tmp_path):
+    """Regression: forkserver/spawn workers start with an EMPTY env
+    registry (it is process-local runtime state), so the factory thunk
+    must close over the resolved constructor, not the env id. This drives
+    the default production path (make_vec_envs -> ShmemVecEnv with the
+    forkserver context) end to end through a registered env."""
+    from var_tpu.config import gym_register, main_config
+    from var_tpu.envs.vec.factory import make_vec_envs
+
+    cfg = main_config(env="arms")
+    cfg.override(vecEnvBackend="shmem", RLTrain=True, RLModelFineTune=False,
+                 RLEnvMaxSteps=3)
+    gym_register(cfg, env="arms")
+    envs = make_vec_envs(cfg.RLEnvName, seed=11, num_processes=2, gamma=None,
+                         randomCollect=True, config=cfg)
+    obs = envs.reset()
+    assert obs["image"].shape == (2, 3, 96, 96)
+    obs, rew, done, infos = envs.step(np.zeros((2, 2), np.float32))
+    assert rew.shape == (2,)
+    envs.close()
+
+
 def test_rollout_storage_shapes():
     cfg = type("C", (), {"RLObsIgnore": {"current_sound"}})()
     space = S.DictSpace({

@@ -60,13 +60,21 @@ def register(env_id: str, entry_point: Callable[..., Env], **default_kwargs):
     _REGISTRY[env_id] = (entry_point, default_kwargs)
 
 
-def make(env_id: str, **kwargs) -> Env:
+def resolve(env_id: str):
+    """(entry_point, default_kwargs) for an id. Resolve in the PARENT
+    before shipping construction to worker processes: the registry is
+    process-local runtime state, so spawn/forkserver children have an
+    empty one (see vec/factory.py::make_env_thunk)."""
     if env_id not in _REGISTRY:
         raise KeyError(
             f"Unknown env id {env_id!r}. Registered: {sorted(_REGISTRY)}. "
             "Call var_tpu.config.gym_register(config) first."
         )
-    entry_point, defaults = _REGISTRY[env_id]
+    return _REGISTRY[env_id]
+
+
+def make(env_id: str, **kwargs) -> Env:
+    entry_point, defaults = resolve(env_id)
     merged = {**defaults, **kwargs}
     return entry_point(**merged)
 

@@ -10,10 +10,19 @@ from var_tpu.envs.vec.shmem import ShmemVecEnv
 
 
 def make_env_thunk(env_id: str, seed: int, rank: int):
-    """(reference: envs.py:10-22) — per-rank seeding + time-limit masking."""
+    """(reference: envs.py:10-22) — per-rank seeding + time-limit masking.
+
+    The env id is resolved to its (entry_point, kwargs) HERE, in the
+    parent, because the registry is process-local: spawn/forkserver
+    workers unpickle the thunk into a fresh interpreter whose registry is
+    empty. The thunk therefore closes over the constructor itself
+    (cloudpickle ships it), never over the id."""
+    from var_tpu.envs.core import resolve
+
+    entry_point, default_kwargs = resolve(env_id)
 
     def _thunk():
-        env = make(env_id)
+        env = entry_point(**default_kwargs)
         env.seed(seed + rank)
         return TimeLimitMask(env)
 

@@ -59,6 +59,9 @@ class ShmemVecEnv(VecEnv):
         # AudioStore, all of which pickle; forkserver gives them a clean
         # single-threaded parent. 'fork' remains available for callers.
         ctx = mp.get_context(context)
+        if context == "forkserver":
+            # pay the worker import chain once, in the forkserver server
+            ctx.set_forkserver_preload(["var_tpu.envs.vec.worker_preload"])
         # probe one env for spaces (the reference builds a dummy env the
         # same way — shmem_vec_env.py:33-37)
         probe = env_fns[0]()

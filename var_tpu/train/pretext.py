@@ -262,7 +262,13 @@ class PretextTrainer:
         if self.audio.env_type != "pybullet":
             return None  # mixed params cannot occur for the FSC store
         banks, entries = self.audio.build_clip_banks()
-        self._multi_params = tuple(p for p, _, _ in banks)
+        new_params = tuple(p for p, _, _ in banks)
+        if new_params != self._multi_params:
+            # the jitted closures bake the STFT param tuple in; a new
+            # upload with different presets must invalidate them
+            self._multi_scan = None
+            self._multi_step = None
+        self._multi_params = new_params
         return {
             "images": put(ds.images),
             "multi_wav": tuple(put(wav) for _, wav, _ in banks),
@@ -270,12 +276,11 @@ class PretextTrainer:
             "entries": entries,  # host-side sampling index
         }
 
-    def _multi_scan_fn(self):
-        """Epoch scan for heterogeneous presets: one fused MFCC per STFT
-        param set, rows merged by bank selector (see _upload_dataset).
-        Built lazily as a jitted closure over the static param tuple."""
-        if getattr(self, "_multi_scan", None) is not None:
-            return self._multi_scan
+    def _multi_body(self):
+        """Shared single-step body for heterogeneous presets: one fused
+        MFCC per STFT param set, rows merged by bank selector (see
+        _upload_dataset). Closed over the static param tuple; jitted
+        directly by _multi_step_fn and scanned by _multi_scan_fn."""
         backend = self.config.audioBackend
         target = self.config.sound_dim[1]
         params_list = self._multi_params
@@ -293,53 +298,8 @@ class PretextTrainer:
                 total = f if total is None else total + f
             return total
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def scan_fn(state, bank_img, bank_wavs, bank_lens, img_idx,
-                    pos_ids, pos_sel, pos_zero, neg_ids, neg_sel, neg_zero):
-            def body(state, xs):
-                i_img, i_pos, s_pos, z_pos, i_neg, s_neg, z_neg = xs
-                image = jnp.take(bank_img, i_img, axis=0)
-                pos_feat = feats(bank_wavs, bank_lens, i_pos, s_pos, z_pos)
-                neg_feat = feats(bank_wavs, bank_lens, i_neg, s_neg, z_neg)
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    state.params, image, pos_feat, neg_feat)
-                updates, opt_state = tx.update(
-                    grads, state.opt_state, state.params)
-                params = optax.apply_updates(state.params, updates)
-                return TrainState(params, opt_state, state.step + 1), loss
-
-            return jax.lax.scan(
-                body, state,
-                (img_idx, pos_ids, pos_sel, pos_zero,
-                 neg_ids, neg_sel, neg_zero))
-
-        self._multi_scan = scan_fn
-        return scan_fn
-
-    def _multi_step_fn(self):
-        """Single-step variant of _multi_scan_fn (the CPU epoch unroll)."""
-        if getattr(self, "_multi_step", None) is not None:
-            return self._multi_step
-        backend = self.config.audioBackend
-        target = self.config.sound_dim[1]
-        params_list = self._multi_params
-        loss_fn = self._loss_fn
-        tx = self.tx
-
-        def feats(bank_wavs, bank_lens, ids, sel, zero):
-            total = None
-            for k, p in enumerate(params_list):
-                zm = jnp.logical_or(~sel[:, k], zero)
-                f = sound_features(
-                    jnp.take(bank_wavs[k], ids[:, k], axis=0),
-                    jnp.take(bank_lens[k], ids[:, k], axis=0),
-                    target, p, backend=backend, zero_mask=zm)
-                total = f if total is None else total + f
-            return total
-
-        @functools.partial(jax.jit, donate_argnums=0)
-        def step_fn(state, bank_img, bank_wavs, bank_lens, i_img,
-                    i_pos, s_pos, z_pos, i_neg, s_neg, z_neg):
+        def body(state, bank_img, bank_wavs, bank_lens, i_img,
+                 i_pos, s_pos, z_pos, i_neg, s_neg, z_neg):
             image = jnp.take(bank_img, i_img, axis=0)
             pos_feat = feats(bank_wavs, bank_lens, i_pos, s_pos, z_pos)
             neg_feat = feats(bank_wavs, bank_lens, i_neg, s_neg, z_neg)
@@ -349,8 +309,36 @@ class PretextTrainer:
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), loss
 
-        self._multi_step = step_fn
-        return step_fn
+        return body
+
+    def _multi_scan_fn(self):
+        """Whole-epoch lax.scan over the shared multi-bank body (TPU)."""
+        if getattr(self, "_multi_scan", None) is not None:
+            return self._multi_scan
+        body = self._multi_body()
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def scan_fn(state, bank_img, bank_wavs, bank_lens, img_idx,
+                    pos_ids, pos_sel, pos_zero, neg_ids, neg_sel, neg_zero):
+            def scan_body(state, xs):
+                return body(state, bank_img, bank_wavs, bank_lens, *xs)
+
+            return jax.lax.scan(
+                scan_body, state,
+                (img_idx, pos_ids, pos_sel, pos_zero,
+                 neg_ids, neg_sel, neg_zero))
+
+        self._multi_scan = scan_fn
+        return scan_fn
+
+    def _multi_step_fn(self):
+        """Jitted single step over the shared multi-bank body (the CPU
+        epoch unroll - see _run_epoch_indexed)."""
+        if getattr(self, "_multi_step", None) is not None:
+            return self._multi_step
+        self._multi_step = functools.partial(jax.jit, donate_argnums=0)(
+            self._multi_body())
+        return self._multi_step
 
     @functools.partial(jax.jit, static_argnums=0)
     def _embed_batch(self, params, image, pos_feat):

@@ -80,7 +80,19 @@ class RealTimeEmbeddingPlot:
 
         self._plt = plt
         if self.interactive:  # pragma: no cover - needs a display
-            plt.ion()
+            # DISPLAY can be set but dead (stale X forwarding, headless
+            # container): probe with a real window before committing,
+            # falling back to the Agg save path instead of crashing
+            try:
+                plt.ion()
+                probe = plt.figure()
+                plt.close(probe)
+            except Exception:
+                self.interactive = False
+                matplotlib.use("Agg", force=True)
+                import matplotlib.pyplot as plt  # rebind on the new backend
+
+                self._plt = plt
         self.fig = plt.figure(figsize=(6, 6))
         self.ax = self.fig.add_subplot(projection="3d")
         u, v = np.mgrid[0 : 2 * np.pi : 24j, 0 : np.pi : 12j]
