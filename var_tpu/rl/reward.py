@@ -54,10 +54,32 @@ class VecVARReward(VecEnvWrapper):
         from var_tpu.utils.profiling import PhaseTimer
 
         self.timer = PhaseTimer()  # 'var_reward' p50 ms tracked per step
+        self._rt_plot = None  # realTimeVec live quiver (lazy)
         self.processing_func = {
             "ArmConfig": self._process_arm,
             "AI2ThorConfig": self._process_ai2thor,
         }[config.name]
+
+    def _maybe_draw_realtime(self, image_feat, goal_feat):
+        """realTimeVec: live image/goal embedding quivers every step
+        (reference: vec_pretext_normalize.py:116-119,138-141 drawArrows);
+        interactive window with a display, frame dump headless."""
+        if not getattr(self.config, "realTimeVec", False):
+            return
+        if self._rt_plot is None:
+            from var_tpu.utils.plotting import RealTimeEmbeddingPlot
+
+            self._rt_plot = RealTimeEmbeddingPlot(
+                None, self.config.representationDim)
+        self._rt_plot.draw_arrows(image_feat, goal_feat)
+        if not self._rt_plot.interactive:
+            import os
+
+            save_dir = getattr(self.config, "RLModelSaveDir", None)
+            if save_dir:
+                os.makedirs(save_dir, exist_ok=True)
+                self._rt_plot.save(
+                    os.path.join(save_dir, "realtime_vec.png"))
 
     # -- jitted VAR inference -------------------------------------------------
 
@@ -123,6 +145,7 @@ class VecVARReward(VecEnvWrapper):
     def _process_arm(self, obs, env_reward):
         image_feat, goal_feat, current_feat = self._get_embeddings(obs)
         reward = self._calc_reward(env_reward, image_feat, goal_feat, current_feat)
+        self._maybe_draw_realtime(image_feat, goal_feat)
         s = OrderedDict(
             [
                 ("robot_pose", obs["robot_pose"].astype(np.float32)),
@@ -136,6 +159,7 @@ class VecVARReward(VecEnvWrapper):
     def _process_ai2thor(self, obs, env_reward):
         image_feat, goal_feat, current_feat = self._get_embeddings(obs)
         reward = self._calc_reward(env_reward, image_feat, goal_feat, current_feat)
+        self._maybe_draw_realtime(image_feat, goal_feat)
         s = OrderedDict(
             [
                 ("occupancy", obs["occupancy"].astype(np.float32) / 255.0),
