@@ -237,3 +237,60 @@ def test_eval_success_rate(tmp_path):
         trainer.pretext_model, cfg, jax.random.PRNGKey(0))["params"]
     rate = trainer.testRL(num_episodes=3)
     assert 0.0 <= rate <= 1.0
+
+
+def test_shm_posix_transport_roundtrip():
+    """The C++ POSIX segment: parent batched views see worker row writes."""
+    from var_tpu.envs.vec import shm_transport
+
+    if not shm_transport.available():
+        pytest.skip("shmbuf native library not built")
+    seg = shm_transport.ShmObsSegment(
+        ["image", "pose"], {"image": (3, 4, 4), "pose": (2,)},
+        {"image": np.uint8, "pose": np.float32}, num_envs=3)
+    handle = seg.worker_handle()
+    import pickle
+
+    handle2 = pickle.loads(pickle.dumps(handle))  # ships to workers
+    views = handle2.open(1)
+    views["image"][:] = 7
+    views["pose"][:] = [1.5, -2.5]
+    assert (seg.batched("image")[1] == 7).all()
+    assert (seg.batched("image")[0] == 0).all()
+    np.testing.assert_allclose(seg.batched("pose")[1], [1.5, -2.5])
+    seg.close()
+
+
+def test_shmem_posix_matches_dummy():
+    """ShmemVecEnv on the posix transport reproduces the dummy backend."""
+    from var_tpu.envs.vec import shm_transport
+    from var_tpu.envs.vec.dummy import DummyVecEnv
+    from var_tpu.envs.vec.shmem import ShmemVecEnv
+
+    if not shm_transport.available():
+        pytest.skip("shmbuf native library not built")
+
+    def fn():
+        e = FakeArmEnv(max_steps=3)
+        e.seed(7)
+        return e
+
+    dummy = DummyVecEnv([fn, fn])
+    shmem = ShmemVecEnv([fn, fn], context="forkserver", transport="posix")
+    assert shmem.segment is not None
+    od, osh = dummy.reset(), shmem.reset()
+    for k in od:
+        np.testing.assert_array_equal(od[k], osh[k])
+    actions = np.ones((2, 2), np.float32) * 0.5
+    for _ in range(4):
+        od, rd, dd, _ = dummy.step(actions)
+        osh, rs, ds, _ = shmem.step(actions)
+        np.testing.assert_array_equal(dd, ds)
+        np.testing.assert_allclose(rd, rs, rtol=1e-6)
+        for k in od:
+            np.testing.assert_array_equal(od[k], osh[k])
+        for i in range(2):
+            np.testing.assert_array_equal(
+                shmem.obs_list[i]["image"], osh["image"][i])
+    dummy.close()
+    shmem.close()

@@ -7,6 +7,9 @@ via __getattr__ passthrough.
 """
 from __future__ import annotations
 
+import contextlib
+import os
+
 from abc import ABC, abstractmethod
 from collections import OrderedDict
 
@@ -90,6 +93,21 @@ class VecEnvWrapper(VecEnv):
         if name.startswith("_"):
             raise AttributeError(name)
         return getattr(self.venv, name)
+
+
+@contextlib.contextmanager
+def clear_mpi_env_vars():
+    """Temporarily strip OMPI_/PMI_ env vars while spawning worker
+    processes, so a child importing mpi4py does not MPI_Init itself as a
+    fake rank and hang (reference: Envs/vec_env/vec_env.py:209-225)."""
+    removed = {}
+    for k in list(os.environ):
+        if k.startswith(("OMPI_", "PMI_")):
+            removed[k] = os.environ.pop(k)
+    try:
+        yield
+    finally:
+        os.environ.update(removed)
 
 
 def stack_obs(obs_list, observation_space) -> "OrderedDict[str, np.ndarray]":

@@ -51,7 +51,8 @@ class CloudpickleWrapper:
 
 
 class ShmemVecEnv(VecEnv):
-    def __init__(self, env_fns, context="forkserver", audio=None):
+    def __init__(self, env_fns, context="forkserver", audio=None,
+                 transport="auto"):
         # default is forkserver, NOT the reference's fork: the learner
         # process has a multithreaded JAX runtime by the time envs are
         # built, and forking a multithreaded parent risks deadlocks (JAX
@@ -76,30 +77,53 @@ class ShmemVecEnv(VecEnv):
             self.obs_shapes[key] = space.shape
             self.obs_dtypes[key] = np.dtype(space.dtype)
 
-        self.obs_bufs = [
-            {
-                k: ctx.Array(
-                    _NP_TO_CT[self.obs_dtypes[k]],
-                    int(np.prod(self.obs_shapes[k])),
-                    lock=False,
-                )
-                for k in self.obs_keys
-            }
-            for _ in env_fns
-        ]
+        # obs transport: one contiguous POSIX segment (C++ shmbuf, batched
+        # per-key regions, one parent copy per key) when the native lib
+        # builds; per-(env,key) mp.Array blocks (the reference's exact
+        # mechanism) otherwise or on transport="array".
+        self.segment = None
+        if transport in ("auto", "posix"):
+            from var_tpu.envs.vec import shm_transport
+
+            if shm_transport.available():
+                self.segment = shm_transport.ShmObsSegment(
+                    self.obs_keys, self.obs_shapes, self.obs_dtypes,
+                    len(env_fns))
+            elif transport == "posix":
+                raise RuntimeError("posix transport requested but the "
+                                   "shmbuf native library is unavailable")
+
+        if self.segment is None:
+            self.obs_bufs = [
+                {
+                    k: ctx.Array(
+                        _NP_TO_CT[self.obs_dtypes[k]],
+                        int(np.prod(self.obs_shapes[k])),
+                        lock=False,
+                    )
+                    for k in self.obs_keys
+                }
+                for _ in env_fns
+            ]
+        else:
+            self.obs_bufs = [self.segment.worker_handle()
+                             for _ in env_fns]  # picklable per-worker handle
         self.parent_pipes, self.procs = [], []
-        for env_fn, obs_buf in zip(env_fns, self.obs_bufs):
+        for i, (env_fn, obs_buf) in enumerate(zip(env_fns, self.obs_bufs)):
             parent_pipe, child_pipe = ctx.Pipe()
             proc = ctx.Process(
                 target=_subproc_worker,
                 args=(
                     child_pipe, parent_pipe, CloudpickleWrapper(env_fn),
                     obs_buf, self.obs_shapes, self.obs_dtypes, self.obs_keys,
-                    CloudpickleWrapper(audio),
+                    CloudpickleWrapper(audio), i,
                 ),
                 daemon=True,
             )
-            proc.start()
+            from .base import clear_mpi_env_vars
+
+            with clear_mpi_env_vars():  # reference: shmem worker spawn
+                proc.start()
             self.procs.append(proc)
             self.parent_pipes.append(parent_pipe)
             child_pipe.close()
@@ -164,12 +188,23 @@ class ShmemVecEnv(VecEnv):
             pipe.close()
         for proc in self.procs:
             proc.join()
+        if self.segment is not None:
+            self.segment.close()
 
     def _decode_obses(self):
         """Rebuild batched arrays + per-env obs_list from the shared blocks
         (reference: shmem_vec_env.py:105-115 keeps both forms)."""
         result = OrderedDict()
         self.obs_list = [dict() for _ in range(self.num_envs)]
+        if self.segment is not None:
+            # posix transport: the segment IS the batched array — one copy
+            # per key total (vs one per env per key below)
+            for k in self.obs_keys:
+                batched = self.segment.batched(k).copy()
+                result[k] = batched
+                for i in range(self.num_envs):
+                    self.obs_list[i][k] = batched[i]
+            return result
         for k in self.obs_keys:
             bufs = [b[k] for b in self.obs_bufs]
             per_env = [
@@ -184,14 +219,23 @@ class ShmemVecEnv(VecEnv):
 
 
 def _subproc_worker(pipe, parent_pipe, env_fn_wrapper, obs_buf, obs_shapes,
-                    obs_dtypes, keys, audio_wrapper):
+                    obs_dtypes, keys, audio_wrapper, env_idx=0):
     """(reference: shmem_vec_env.py:117-154)."""
+    from var_tpu.envs.vec.shm_transport import ShmObsWorker
 
-    def _write_obs(obs):
-        for k in keys:
-            dst = np.frombuffer(obs_buf[k], dtype=obs_dtypes[k]).reshape(
-                obs_shapes[k])
-            np.copyto(dst, np.asarray(obs[k]).reshape(obs_shapes[k]))
+    if isinstance(obs_buf, ShmObsWorker):
+        views = obs_buf.open(env_idx)  # row slices of the posix segment
+
+        def _write_obs(obs):
+            for k in keys:
+                np.copyto(views[k],
+                          np.asarray(obs[k]).reshape(obs_shapes[k]))
+    else:
+        def _write_obs(obs):
+            for k in keys:
+                dst = np.frombuffer(obs_buf[k], dtype=obs_dtypes[k]).reshape(
+                    obs_shapes[k])
+                np.copyto(dst, np.asarray(obs[k]).reshape(obs_shapes[k]))
 
     parent_pipe.close()
     env = env_fn_wrapper.x()

@@ -64,3 +64,60 @@ def simcore():
         lib.rotate_crop.restype = None
         _lib = lib
         return _lib
+
+
+# ---------------------------------------------------------------------------
+# shmbuf: POSIX shared-memory obs transport (native/shmbuf.cpp)
+
+_shm_lock = threading.Lock()
+_shm_lib = None
+_shm_tried = False
+
+_SHM_SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "shmbuf.cpp"))
+_SHM_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libshmbuf.so"))
+
+
+def _build_shmbuf() -> bool:
+    if not os.path.exists(_SHM_SRC):
+        return False
+    if os.path.exists(_SHM_SO) and os.path.getmtime(_SHM_SO) >= os.path.getmtime(_SHM_SRC):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SHM_SRC, "-o", _SHM_SO],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def shmbuf():
+    """The loaded shmbuf ctypes library, or None if unavailable."""
+    global _shm_lib, _shm_tried
+    with _shm_lock:
+        if _shm_tried:
+            return _shm_lib
+        _shm_tried = True
+        if os.environ.get("VAR_TPU_NO_NATIVE"):
+            return None
+        if not _build_shmbuf():
+            return None
+        try:
+            lib = ctypes.CDLL(_SHM_SO)
+        except OSError:
+            return None
+        lib.shmbuf_create.argtypes = [ctypes.c_char_p, ctypes.c_long]
+        lib.shmbuf_create.restype = ctypes.c_int
+        lib.shmbuf_open.argtypes = [ctypes.c_char_p]
+        lib.shmbuf_open.restype = ctypes.c_int
+        lib.shmbuf_map.argtypes = [ctypes.c_int, ctypes.c_long]
+        lib.shmbuf_map.restype = ctypes.c_void_p
+        lib.shmbuf_unmap.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        lib.shmbuf_unmap.restype = ctypes.c_int
+        lib.shmbuf_close_fd.argtypes = [ctypes.c_int]
+        lib.shmbuf_close_fd.restype = ctypes.c_int
+        lib.shmbuf_unlink.argtypes = [ctypes.c_char_p]
+        lib.shmbuf_unlink.restype = ctypes.c_int
+        _shm_lib = lib
+        return _shm_lib

@@ -426,13 +426,25 @@ class RLTrainer:
                 eval_env_reward = 0.0
 
         success_rate = float(np.mean(results)) if results else 0.0
-        if policy_path or cfg.skillInfos:
+        if (policy_path or cfg.skillInfos) and not getattr(cfg, "render",
+                                                           False):
+            # reference CSV schema incl. the per-episode commanded class
+            # column (VAR/RL_VAR.py:64-75: objIdx = repeat over
+            # size_per_class, matching the round-robin eval intents)
             import pandas as pd
 
+            if base_env is not None:
+                objs = np.repeat(np.arange(cfg.taskNum, dtype=np.int64),
+                                 np.asarray(base_env.size_per_class))
+                reps = -(-len(results) // max(1, len(objs)))
+                objs = np.tile(objs, reps)[: len(results)]
+            else:
+                objs = np.zeros(len(results), dtype=np.int64)
             save_dir = os.path.dirname(path)
             os.makedirs(save_dir or ".", exist_ok=True)
             name = os.path.splitext(os.path.basename(path))[0]
             df = pd.DataFrame({
+                "objIdx": objs,
                 "goal area count": goal_counts,
                 "rewards": ep_rewards,
                 "results": results,
