@@ -84,6 +84,65 @@ def test_init_distributed_loopback():
 
 
 @pytest.mark.slow
+def test_two_process_spmd_grad():
+    """REAL multi-process SPMD (the DCN path without hardware): two
+    OS processes, 4 virtual CPU devices each, one global 8-device 'dp'
+    mesh. Each rank contributes its process-local batch shard; a jitted
+    grad over replicated params must all-reduce across the process
+    boundary and agree bit-wise with the single-process result."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = (
+        "import os, sys\n"
+        "rank = int(sys.argv[1]); port = sys.argv[2]\n"
+        "os.environ['XLA_FLAGS'] = ('--xla_force_host_platform_device_count=4"
+        " --xla_backend_optimization_level=0"
+        " --xla_llvm_disable_expensive_passes=true')\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_cpu_collectives_implementation', 'gloo')\n"
+        "from var_tpu.parallel.mesh import init_distributed, build_mesh, "
+        "batch_sharding, replicated\n"
+        "init_distributed(f'localhost:{port}', num_processes=2, "
+        "process_id=rank)\n"
+        "import jax.numpy as jnp, numpy as np\n"
+        "assert jax.process_count() == 2 and jax.device_count() == 8\n"
+        "mesh = build_mesh({'dp': 8})\n"
+        "rng = np.random.RandomState(0)  # same params on both ranks\n"
+        "w1 = rng.randn(6, 16).astype(np.float32)\n"
+        "w2 = rng.randn(16, 1).astype(np.float32)\n"
+        "x_global = np.linspace(-1, 1, 16 * 6).reshape(16, 6)"
+        ".astype(np.float32)\n"
+        "x_local = x_global[rank * 8:(rank + 1) * 8]\n"
+        "params = jax.device_put((w1, w2), replicated(mesh))\n"
+        "x = jax.make_array_from_process_local_data("
+        "batch_sharding(mesh), x_local, (16, 6))\n"
+        "def loss(params, x):\n"
+        "    h = jnp.tanh(x @ params[0])\n"
+        "    return jnp.mean((h @ params[1]) ** 2)\n"
+        "g = jax.jit(jax.grad(loss))(params, x)\n"
+        "g_ref = jax.jit(jax.grad(loss))("
+        "(jnp.asarray(w1), jnp.asarray(w2)), jnp.asarray(x_global))\n"
+        "for a, b in zip(g, g_ref):\n"
+        "    np.testing.assert_allclose(np.asarray(a), np.asarray(b), "
+        "rtol=1e-6, atol=1e-7)\n"
+        "print('DIST2_OK', rank, flush=True)\n"
+    )
+    port = "13941"
+    procs = [subprocess.Popen([sys.executable, "-c", worker, str(r), port],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True)
+             for r in range(2)]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for r, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and f"DIST2_OK {r}" in out, (
+            f"rank {r}: rc={p.returncode}\n{out}\n{err[-2000:]}")
+
+
+@pytest.mark.slow
 def test_sharded_device_rollout_engine():
     """The RL rollout engine with env-axis-sharded buffers: collect steps +
     GAE execute over an 8-device mesh with finite outputs."""

@@ -37,10 +37,13 @@ def init_distributed(coordinator_address: Optional[str] = None,
         init_distributed("host0:8476", num_processes=2, process_id=1)
 
     then build_mesh() sees the global device list; batch shards cross the
-    host boundary over DCN, within-host over ICI. The loopback form
-    (num_processes=1, process_id=0) runs the full coordination-service
-    handshake on one process and is smoke-tested in
-    tests/test_sharding.py::test_init_distributed_loopback."""
+    host boundary over DCN, within-host over ICI. Validated without
+    hardware two ways (tests/test_sharding.py): the loopback form
+    (num_processes=1) runs the full coordination-service handshake, and
+    test_two_process_spmd_grad runs a REAL 2-process global mesh whose
+    gradient all-reduce crosses the process boundary (CPU backends need
+    jax.config jax_cpu_collectives_implementation='gloo' for that;
+    TPU pods use their native ICI/DCN collectives)."""
     import jax
 
     if num_processes is None and coordinator_address is None:
