@@ -156,3 +156,38 @@ def test_arm_pretext_obs_and_random_walk(arm_cfg, arm_audio):
     p0 = env.ee.copy()
     env.step(np.zeros(2))
     assert not np.allclose(p0, env.ee)  # random walk moved the gripper
+
+
+def test_occupancy_crop_is_egocentric():
+    """A wall k cells AHEAD of the agent must appear above the crop center
+    for EVERY heading (the egocentric invariant the occupancy policy
+    branch relies on; reference: RL_env_VAR.py:193-209)."""
+    import numpy as np
+
+    from var_tpu.config import main_config
+    from var_tpu.envs.grid_sim import GridHouseSim
+
+    cfg = main_config(env="ai2thor")
+    cfg.override(RLTrain=True, RLModelFineTune=False)
+    env = GridHouseSim(cfg, audio=None)
+    env.seed(0)
+    env.floor_plan = 201
+    env._build_world()
+    g = cfg.RLVisibleGrid
+    radius = g // 2
+    # place the agent mid-room and plant a wall marker 2 cells ahead
+    r0, c0 = 8, 8
+    env.pos = np.array([r0, c0], dtype=float)
+    p = env._pad
+    for rot in (0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0):
+        env.rot = rot
+        th = np.deg2rad(rot)
+        ahead = np.round(
+            np.array([r0, c0]) + 2 * np.array([np.cos(th), np.sin(th)])
+        ).astype(int)
+        saved = env.occupancy_grid.copy()
+        env.occupancy_grid[ahead[0] + p, ahead[1] + p] = 255
+        crop = env.get_local_occupancy_map()
+        env.occupancy_grid = saved
+        assert crop[radius - 2, radius] == 255, f"rot={rot}: ahead not up"
+        assert crop[radius, radius] == 128  # agent marker

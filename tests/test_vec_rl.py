@@ -185,7 +185,7 @@ def test_fused_engine_matches_reward_wrapper(tmp_path):
 
     # fused path
     policy = build_policy(cfg, raw_envs.action_space)
-    engine = FusedRolloutEngine(model, params, policy, None, cfg, 2,
+    engine = FusedRolloutEngine(model, params, policy, cfg, 2,
                                 ret_norm=False)
     hx = jnp.zeros((2, cfg.RLRecurrentSize))
     masks = jnp.ones((2, 1))

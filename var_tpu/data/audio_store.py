@@ -117,6 +117,10 @@ class AudioStore:
             data = data[:, 0]
         if fs != FS:
             return None  # reference assumes 16 kHz mono (README.md:27)
+        if np.issubdtype(data.dtype, np.floating):
+            # float PCM is in [-1, 1]; astype alone would truncate every
+            # sample to 0 (silence) — scale to the int16 range instead
+            data = np.clip(data * 32768.0, -32768, 32767)
         return data.astype(np.int16)
 
     def _load_pybullet(self):
@@ -215,6 +219,10 @@ class AudioStore:
                 "using the synthetic source"
             )
             self._load_ai2thor_synthetic()
+        else:
+            # a partially-populated corpus (e.g. rows for only one object)
+            # must not KeyError later: back-fill the missing classes
+            self._fill_missing_ai2thor_classes()
 
     def _load_fsc_csv(self, csv_path: str) -> bool:
         import pandas as pd
@@ -255,6 +263,36 @@ class AudioStore:
                         self.transcription[loc][obj][act] = trans
                         any_loaded = True
         return any_loaded
+
+    def _fill_missing_ai2thor_classes(self):
+        """Synthetic back-fill for (loc, obj, act) combinations the real
+        corpus left empty, so getAudioFromTask/class_clips never KeyError
+        mid-training when the CSV covers only part of the vocabulary."""
+        cfg = self.config
+        src = cfg.soundSource
+        n_synth = int(os.environ.get("VAR_TPU_SYNTH_CLIPS", "32"))
+        class_idx = 0
+        filled = []
+        for loc in src["FSC_locations"]:
+            self.words.setdefault(loc, {})
+            self.transcription.setdefault(loc, {})
+            for obj, acts in src["FSC_obj_act"].items():
+                self.words[loc].setdefault(obj, {})
+                self.transcription[loc].setdefault(obj, {})
+                for act in acts:
+                    if not self.words[loc][obj].get(act):
+                        rng = np.random.RandomState(2000 + class_idx)
+                        self.words[loc][obj][act] = [
+                            synth_clip(class_idx, rng, 1.0, 3.0)
+                            for _ in range(n_synth)]
+                        self.transcription[loc][obj][act] = [
+                            f"{act} the {obj} ({loc})"] * n_synth
+                        filled.append((loc, obj, act))
+                    class_idx += 1
+        if filled:
+            warnings.warn(
+                f"AudioStore: corpus missing {len(filled)} (loc,obj,act) "
+                f"classes (e.g. {filled[0]}); back-filled synthetically")
 
     def _load_ai2thor_synthetic(self):
         cfg = self.config
@@ -378,8 +416,21 @@ class AudioStore:
                 out.extend(self.words[class_idx][ds])
             return out
         loc, obj, act = self.task_tuples[class_idx]
-        l, o, a = self._resolve_task(_Tsk(loc, obj, act), _FirstRand())
-        return self.words[l][o][a]
+        # union over every synonym resolution the env's goal sampler can
+        # produce (_resolve_task draws synonyms uniformly,
+        # Envs/audioLoader.py:223-237) — the device clip bank must cover
+        # the same support or RL-time commands would be out of
+        # distribution for the trained VAR
+        syn = self.config.synonym
+        obj_act = self.config.soundSource["FSC_obj_act"]
+        out = []
+        for l in syn[loc]:
+            for o in syn[obj]:
+                acts = sorted(set(obj_act.get(o, [])) & set(syn[act]))
+                for a in acts:
+                    out.extend(
+                        self.words.get(l, {}).get(o, {}).get(a, []))
+        return out
 
     def sample_clip_batch(self, class_ids: np.ndarray, rng: np.random.RandomState):
         """Sample one clip per class id into packed fixed-size buffers.

@@ -256,6 +256,18 @@ class FourInARowSim(Env):
         save_episode_image(c, image, self.episodeCounter, self.envStepCounter)
         if self.envStepCounter == 0:
             self._setup_first_step()
+            goal_sound = np.asarray(self.goal_sound, dtype=np.float32)
+        else:
+            # Goal-sound cache sentinel after step 0 (the ai2thor protocol,
+            # reference RL_env_VAR.py:498-510, extended to the arm): the
+            # goal is fixed for the episode, so the VAR consumers reuse
+            # their cached per-row embedding instead of re-encoding the
+            # identical MFCC every step. The reference's arm env resent
+            # the real sound each step only because its cache was hidden
+            # global model state; ours is explicit per-row state
+            # (rl/reward.py, rl/rollout_device.py), so mixed
+            # fresh/cached rows from independent env resets are exact.
+            goal_sound = np.full(c.sound_dim, np.inf, dtype=np.float32)
         # current_sound is consumed only by the sound-sound reward term and
         # render playback (reference: vec_pretext_normalize.py:84,
         # RLObsIgnore drops it from the policy); skip the per-step MFCC
@@ -268,7 +280,7 @@ class FourInARowSim(Env):
         return OrderedDict(
             [
                 ("image", np.transpose(image, (2, 0, 1))),
-                ("goal_sound", np.asarray(self.goal_sound, dtype=np.float32)),
+                ("goal_sound", goal_sound),
                 ("current_sound", np.asarray(sound_positive, dtype=np.float32)),
                 ("robot_pose", self.ee.astype(np.float32).copy()),
                 ("goal_sound_label", np.asarray([self.ground_truth], np.int32)),

@@ -248,7 +248,14 @@ class GridHouseSim(Env):
         radius = g // 2
         visible = self.occupancy_grid[r - radius : r + radius + 1,
                                       c - radius : c + radius + 1]
-        rotated = ndimage.rotate(visible, self.rot, reshape=False, order=0)
+        # Egocentric: the cell AHEAD of the agent must land above center for
+        # every heading. This sim's heading is (drow, dcol)=(cos, sin) with
+        # row increasing downward, so the image must turn by 180-rot
+        # (verified for all 8 headings in tests/test_sims.py). The iTHOR
+        # adapter keeps the reference's +y (correct for iTHOR's z-up-north
+        # frame, RL_env_VAR.py:193-209).
+        rotated = ndimage.rotate(visible, 180.0 - self.rot, reshape=False,
+                                 order=0)
         rotated = rotated.copy()
         rotated[radius, radius] = 128
         return rotated

@@ -12,9 +12,13 @@ program computes
 
 so each env step costs one host->device transfer of uint8 pixels plus one
 kernel launch. Return-RMS normalization stays host-side (numpy, matches
-the wrapper). Used by RLTrainer when config.fusedRollout is enabled; the
-wrapper path (var_tpu/rl/reward.py) remains for composability and is the
-semantics oracle in tests.
+the wrapper).
+
+Three rollout tiers share these semantics: the wrapper path
+(var_tpu/rl/reward.py, the oracle), this fused engine (one device call,
+host-resident storage), and the device-resident engine RLTrainer's
+fusedRollout path actually uses (var_tpu/rl/rollout_device.py: the whole
+rollout lives in donated device buffers, one readback per step).
 """
 from __future__ import annotations
 
@@ -41,7 +45,7 @@ class FusedStep(NamedTuple):
 
 
 class FusedRolloutEngine:
-    def __init__(self, var_model, var_params, policy, policy_variables, config,
+    def __init__(self, var_model, var_params, policy, config,
                  num_envs: int, ret_norm: bool = True):
         self.var_model = var_model
         self.var_params = var_params
@@ -53,13 +57,26 @@ class FusedRolloutEngine:
         self.ret_norm = (ReturnNormalizer.create(num_envs, config.RLGamma)
                         if ret_norm else None)
         self.is_arm = config.name == "ArmConfig"
+        # sound-sound reward coefficient (reference:
+        # vec_pretext_normalize.py:96-101); 0/False drops the
+        # current_sound encode at trace time
+        self.sound_sound = float(
+            getattr(config, "RLRewardSoundSound", 0.0) or 0.0)
 
     # -- the fused program ---------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 11))
+    def _sound_sound_term(self, var_params, current_sound, goal_feat):
+        if not self.sound_sound:
+            return 0.0
+        _, cur_feat = self.var_model.apply(
+            {"params": var_params}, current_sound,
+            method=self.var_model.encode_sound)
+        return self.sound_sound * jnp.sum(cur_feat * goal_feat, axis=1)
+
+    @functools.partial(jax.jit, static_argnums=(0, 12))
     def _step(self, var_params, policy_params, image_u8, goal_sound,
-              fresh_mask, cached_goal, extra, env_reward, rnn_hx, masks,
-              deterministic, key):
+              fresh_mask, cached_goal, extra, current_sound, env_reward,
+              rnn_hx, masks, deterministic, key):
         """extra: robot_pose (arm) or occupancy u8 (ai2thor)."""
         image = image_u8.astype(jnp.float32) * (1.0 / 255.0)
         _, image_feat = self.var_model.apply(
@@ -70,7 +87,9 @@ class FusedRolloutEngine:
         goal_feat = jnp.where(fresh_mask[:, None], sound_feat, cached_goal)
 
         D = self.config.representationDim
-        reward = jnp.sum(image_feat[:, :D] * goal_feat, axis=1) + env_reward
+        reward = (jnp.sum(image_feat[:, :D] * goal_feat, axis=1)
+                  + self._sound_sound_term(var_params, current_sound, goal_feat)
+                  + env_reward)
 
         if self.is_arm:
             obs = OrderedDict(
@@ -86,19 +105,21 @@ class FusedRolloutEngine:
         return FusedStep(value, action, log_probs(dist, action), new_hx,
                          image_feat, goal_feat, reward)
 
-    @functools.partial(jax.jit, static_argnums=(0, 11))
+    @functools.partial(jax.jit, static_argnums=(0, 12))
     def _step_cached(self, var_params, policy_params, image_u8, goal_sound,
-                     fresh_mask, cached_goal, extra, env_reward, rnn_hx,
-                     masks, deterministic, key):
-        """Variant skipping the sound encoder entirely (all rows cached —
-        the common case after step 0)."""
+                     fresh_mask, cached_goal, extra, current_sound,
+                     env_reward, rnn_hx, masks, deterministic, key):
+        """Variant skipping the goal-sound encoder entirely (all rows
+        cached — the common case after step 0)."""
         del goal_sound, fresh_mask
         image = image_u8.astype(jnp.float32) * (1.0 / 255.0)
         _, image_feat = self.var_model.apply(
             {"params": var_params}, image, method=self.var_model.encode_image)
         goal_feat = cached_goal
         D = self.config.representationDim
-        reward = jnp.sum(image_feat[:, :D] * goal_feat, axis=1) + env_reward
+        reward = (jnp.sum(image_feat[:, :D] * goal_feat, axis=1)
+                  + self._sound_sound_term(var_params, current_sound, goal_feat)
+                  + env_reward)
         if self.is_arm:
             obs = OrderedDict(
                 robot_pose=extra, goal_sound_feat=goal_feat,
@@ -118,18 +139,29 @@ class FusedRolloutEngine:
     def process_and_act(self, policy_params, raw_obs, env_reward, news,
                         rnn_hx, masks, key, deterministic=False):
         """One fused step over the raw env batch. Returns
-        (processed_obs_dict for storage, normalized reward, FusedStep)."""
+        (processed_obs_dict for storage, normalized reward, raw reward,
+        FusedStep)."""
         goal = np.asarray(raw_obs["goal_sound"], dtype=np.float32)
         fresh = np.isfinite(goal.reshape(self.num_envs, -1)[:, 0])
         extra_key = "robot_pose" if self.is_arm else "occupancy"
         extra = jnp.asarray(
             np.asarray(raw_obs[extra_key], np.float32) if self.is_arm
             else raw_obs[extra_key])
-        fn = self._step if fresh.any() else self._step_cached
+        use_sound = bool(fresh.any())
+        fn = self._step if use_sound else self._step_cached
+        if use_sound:
+            goal_dev = jnp.asarray(goal)
+        else:  # the cached variant never reads it: skip the upload
+            goal_dev = jnp.zeros((1,), jnp.float32)
+        if self.sound_sound:
+            cur_dev = jnp.asarray(
+                np.asarray(raw_obs["current_sound"], np.float32))
+        else:
+            cur_dev = jnp.zeros((1,), jnp.float32)
         out = fn(
             self.var_params, policy_params,
-            jnp.asarray(raw_obs["image"]), jnp.asarray(goal),
-            jnp.asarray(fresh), jnp.asarray(self.cached_goal), extra,
+            jnp.asarray(raw_obs["image"]), goal_dev,
+            jnp.asarray(fresh), jnp.asarray(self.cached_goal), extra, cur_dev,
             jnp.asarray(np.asarray(env_reward, np.float32)),
             rnn_hx, masks, deterministic, key)
         self.cached_goal = np.asarray(out.goal_feat)

@@ -328,10 +328,17 @@ class DeviceRolloutEngine:
                 np.asarray(raw_obs["current_sound"], np.float32))
         else:
             cur = self._put_host(np.zeros((1,), np.float32), env_axis0=False)
+        if use_sound:
+            goal_dev = self._put_host(goal)
+        else:
+            # all rows cached: the compiled use_sound=False variant never
+            # reads the goal sound — skip the (N,1,T,40) upload entirely
+            goal_dev = self._put_host(np.zeros((1,), np.float32),
+                                      env_axis0=False)
         self.buffers, packed_out = self._collect_step(
             self.buffers, jnp.asarray(t, jnp.int32), self.var_params,
             self._policy_params, self._put_host(raw_obs["image"]),
-            self._put_host(self._extra(raw_obs)), self._put_host(goal), cur,
+            self._put_host(self._extra(raw_obs)), goal_dev, cur,
             self._put_host(packed_host), key, use_sound)
         if self._async_copy:
             try:
