@@ -143,7 +143,7 @@ class AI2ThorConfig(ConfigBase):
         # --- TPU / backend settings (new; no reference counterpart) ---
         self.meshShape = None
         self.computeDtype = "float32"
-        self.audioBackend = "gemm"
+        self.audioBackend = "fft"  # fastest in the fused step on v5e (see arm.py)
         self.simBackend = "builtin"  # 'builtin' gridworld sim | 'ithor' adapter
         self.vecEnvBackend = "auto"
         self.vecEnvContext = "forkserver"  # mp start method for shmem workers

@@ -148,7 +148,9 @@ class ArmConfig(ConfigBase):
         # --- TPU / backend settings (new; no reference counterpart) ---
         self.meshShape = None  # e.g. {'dp': 8}; None = single device
         self.computeDtype = "float32"  # 'bfloat16' for MXU-friendly conv stacks
-        self.audioBackend = "gemm"  # 'gemm' (MXU DFT matmuls) | 'fft' (jnp.fft)
+        self.audioBackend = "fft"  # 'fft' | 'gemm' (MXU DFT matmuls) | 'pallas'
+        # fft measured fastest in the fused train step on v5e (267 vs 287
+        # gemm / 720 pallas us per batch-128 step; ai2thor 384/652/442)
         self.simBackend = "builtin"  # 'builtin' numpy sim | 'pybullet' adapter
         self.vecEnvBackend = "auto"  # 'auto'|'dummy'|'shmem'
         self.vecEnvContext = "forkserver"  # mp start method for shmem workers
