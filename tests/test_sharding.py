@@ -66,12 +66,15 @@ def test_init_distributed_loopback():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = (
         "import os\n"
-        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
         "import sys\n"
         f"sys.path.insert(0, {repo!r})\n"
+        "import jax\n"
+        # env vars alone are too late (sitecustomize imports jax first);
+        # config.update actually pins the platform — without it this child
+        # silently computes on the tunneled TPU and hangs when it is flaky
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "from var_tpu.parallel.mesh import init_distributed\n"
         "init_distributed('localhost:12973', num_processes=1, process_id=0)\n"
-        "import jax\n"
         "assert jax.process_count() == 1, jax.process_count()\n"
         "assert jax.process_index() == 0\n"
         "import jax.numpy as jnp\n"
