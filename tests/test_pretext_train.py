@@ -104,3 +104,39 @@ def test_training_actually_learns(arm_config):
     # the tail average clearly below the start
     assert np.mean(losses[-3:]) < np.mean(losses[:3]) - 0.1
     assert min(losses) < 0.9
+
+
+def test_multistep_lr_resume_and_fold():
+    """MultiStepLR parity: milestones fire at the correct GLOBAL epoch,
+    including when resuming mid-schedule (torch tracks last_epoch
+    absolutely — reference: utils.py get_scheduler)."""
+    from var_tpu.train.pretext import multistep_lr
+
+    spe = 10  # steps per epoch
+    sched = multistep_lr(1.0, [2, 4], 0.1, spe)
+    assert float(sched(0)) == 1.0
+    assert float(sched(2 * spe - 1)) == 1.0
+    assert abs(float(sched(2 * spe)) - 0.1) < 1e-6
+    assert abs(float(sched(4 * spe)) - 0.01) < 1e-6
+    # resume at epoch 3: milestone 2 already folded, milestone 4 shifts
+    resumed = multistep_lr(1.0, [2, 4], 0.1, spe, start_step=3 * spe)
+    assert abs(float(resumed(0)) - 0.1) < 1e-6
+    assert abs(float(resumed(spe - 1)) - 0.1) < 1e-6
+    assert abs(float(resumed(spe)) - 0.01) < 1e-6  # global epoch 4
+
+
+def test_mfcc_batch_accepts_int16():
+    """Bank rows are int16; mfcc_batch must normalize them, not cast the
+    frontend constants to the integer dtype (which silences the window)."""
+    import jax.numpy as jnp
+
+    from var_tpu.ops.audio import PARAM_TABLE, mfcc_batch
+
+    rng = np.random.RandomState(0)
+    p = PARAM_TABLE["GoogleCommand"]
+    wav_f = rng.randn(2, 4000).astype(np.float32) * 0.2
+    wav_i = (wav_f * 32768.0).astype(np.int16)
+    out_f = np.asarray(mfcc_batch(jnp.asarray(wav_f), p, backend="fft"))
+    out_i = np.asarray(mfcc_batch(jnp.asarray(wav_i), p, backend="fft"))
+    assert np.isfinite(out_i).all()
+    np.testing.assert_allclose(out_i, out_f, atol=2e-2, rtol=1e-2)

@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from var_tpu.ops.gru import GRUParams, bigru_final, init_gru_params
+from var_tpu.ops.gru import GRUParams, bigru_final
 from var_tpu.ops.losses import l2_normalize
 
 

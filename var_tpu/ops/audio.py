@@ -263,6 +263,11 @@ def mfcc_batch(
     With pre_padded=True, rows are pack_waveform() buffers (reflect padding
     already applied at true clip boundaries).
     """
+    if jnp.issubdtype(wav.dtype, jnp.integer):
+        # int16 bank rows: normalize here — otherwise the frontend
+        # constants would be cast to the integer dtype downstream and the
+        # window coefficients truncate to zero (silent garbage)
+        wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
     if backend == "fft":
         power = _stft_power_fft(wav, params, pre_padded)
     elif backend == "gemm":

@@ -42,17 +42,28 @@ class TrainState(NamedTuple):
 
 
 def multistep_lr(base_lr: float, milestones_epochs, gamma: float,
-                 steps_per_epoch: int):
+                 steps_per_epoch: int, start_step: int = 0):
     """torch.optim.lr_scheduler.MultiStepLR as an optax schedule
-    (scheduler.step() per epoch — reference: VAR/pretext_VAR.py:72-73)."""
-    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones_epochs}
-    return optax.piecewise_constant_schedule(base_lr, boundaries)
+    (scheduler.step() per epoch — reference: VAR/pretext_VAR.py:72-73).
+
+    `start_step` resumes mid-schedule like torch's absolute last_epoch:
+    milestones already passed fold their decay into the base LR, the rest
+    shift so they still fire at the correct GLOBAL epoch."""
+    boundaries = {}
+    lr = base_lr
+    for m in milestones_epochs:
+        b = int(m) * steps_per_epoch - start_step
+        if b <= 0:
+            lr = lr * gamma
+        else:
+            boundaries[b] = gamma
+    return optax.piecewise_constant_schedule(lr, boundaries)
 
 
-def make_optimizer(config, steps_per_epoch: int):
+def make_optimizer(config, steps_per_epoch: int, lr=None, start_step: int = 0):
     schedule = multistep_lr(
-        config.pretextLR, config.pretextLRDecayEpoch,
-        config.pretextLRDecayGamma, steps_per_epoch,
+        config.pretextLR if lr is None else lr, config.pretextLRDecayEpoch,
+        config.pretextLRDecayGamma, steps_per_epoch, start_step,
     )
     # torch Adam(weight_decay): L2 term added to the gradient
     return optax.chain(
@@ -78,6 +89,23 @@ class PretextTrainer:
         self._replicated = None
         self._multi_params = None  # STFT param tuple (heterogeneous presets)
         self._multi_scan = None
+        self._multi_step = None
+
+    # The jitted step methods take `self` as a static argument, and their
+    # traces close over self.tx. Hash by (instance, current optimizer) so
+    # replacing the optimizer (a second trainRepresentation call with a
+    # different schedule, a fine-tune pass) retraces instead of silently
+    # reusing an executable baked with the OLD schedule. Entries keyed by
+    # a superseded tx become unreachable cache garbage, which is fine.
+    def __hash__(self):
+        return hash((id(self), id(self.tx)))
+
+    def __eq__(self, other):
+        return self is other
+
+    def _invalidate_multi(self):
+        self._multi_scan = None
+        self._multi_step = None
 
     # -- setup -------------------------------------------------------------
 
@@ -377,8 +405,12 @@ class PretextTrainer:
             raise RuntimeError("empty pretext dataset")
 
         batch_size = cfg.pretextTrainBatchSize
-        steps_per_epoch = max(1, len(ds) // batch_size)
-        self.tx = make_optimizer(cfg, steps_per_epoch)
+        # ceil: every epoch actually runs ceil(n/B) updates (wrap-around
+        # padding in _run_epoch_indexed, drop_last=False in the fallback)
+        steps_per_epoch = max(1, -(-len(ds) // batch_size))
+        self.tx = make_optimizer(cfg, steps_per_epoch, lr=lr,
+                                 start_step=start_ep * steps_per_epoch)
+        self._invalidate_multi()  # the multi-bank closures also bake tx
         if self.variables is None:
             self.init_model(seed=cfg.pretextEnvSeed)
         if cfg.pretextModelFineTune:
@@ -408,7 +440,7 @@ class PretextTrainer:
         for ep in range(epoch):
             # periodic embedding plot during training
             # (reference: VAR/pretext_VAR.py:45-49)
-            if (plot and cfg.plotRepresentation >= 0 and ep > 0
+            if (plot and cfg.plotRepresentation > 0 and ep > 0
                     and ep % cfg.plotRepresentation == 0):
                 self.variables = {"params": self.state.params}
                 self.plotRepresentation(
@@ -584,7 +616,12 @@ class PretextTrainer:
                     harvest(observations)
                 if sum(collected) == sum(target_num):
                     break
-            name = f"data_{epoch}" if fileName is None else fileName
+            if fileName is None:
+                name = f"data_{epoch}"
+            else:
+                # a caller-fixed name must not overwrite earlier shards
+                # when collection spans multiple file-epochs
+                name = fileName if epoch == 0 else f"{fileName}_{epoch}"
             save_shard(
                 os.path.join(cfg.pretextDataDir[0], "train", name + ".pickle"),
                 observations,
