@@ -102,3 +102,40 @@ def test_cli_build_config():
     assert cfg.pretext_RL == "pretext"
     with pytest.raises(SystemExit):
         build_config(parse_args(["--set", "noSuchKnob=3"]), role="RL")
+
+
+def test_cli_boolean_fallbacks_and_recheck():
+    """--set RLTrain=false must become False (not a truthy string), and
+    the post-override cfg_check rejects invalid flag combinations."""
+    import pytest
+
+    from var_tpu.cli import build_config, parse_args
+
+    cfg = build_config(parse_args(
+        ["--env", "arms", "--set", "RLTrain=false", "fusedRollout=FALSE",
+         "RLModelFineTune=true"]), role="RL")
+    assert cfg.RLTrain is False
+    assert cfg.fusedRollout is False
+    assert cfg.RLModelFineTune is True
+    with pytest.raises(ValueError):
+        build_config(parse_args(
+            ["--env", "arms", "--set", "RLTrain=True",
+             "RLManualControl=True"]), role="RL")
+
+
+def test_override_recomputes_derived_knobs():
+    """Derived knobs resync after override unless explicitly set."""
+    from var_tpu.config import main_config
+
+    cfg = main_config(env="arms")
+    cfg.override(pretextModelFineTune=False)
+    assert cfg.pretextDataset == "VARDataset"
+    cfg.override(RLEnvMaxSteps=7)
+    assert cfg.ppoNumSteps == 7
+    cfg.override(RLEnvMaxSteps=9, ppoNumSteps=3)  # explicit wins
+    assert cfg.ppoNumSteps == 3
+    cfg.override(soundSourcePreset="mix")
+    assert cfg.soundSource["dataset"] == ["GoogleCommand", "UrbanSound"]
+    assert not __import__("var_tpu.data.audio_store",
+                          fromlist=["AudioStore"]).AudioStore(
+        cfg).params_homogeneous()

@@ -228,6 +228,8 @@ def test_end_to_end_rl_training(tmp_path):
 
 @pytest.mark.slow
 def test_eval_success_rate(tmp_path):
+    from var_tpu.models.policy import build_policy
+    from var_tpu.train.checkpoint import save_checkpoint
     from var_tpu.train.rl import RLTrainer
 
     cfg = _small_arm_cfg(tmp_path)
@@ -235,7 +237,23 @@ def test_eval_success_rate(tmp_path):
     trainer = RLTrainer(cfg, env="arms")
     trainer.pretext_params = init_pretext_params(
         trainer.pretext_model, cfg, jax.random.PRNGKey(0))["params"]
-    rate = trainer.testRL(num_episodes=3)
+    # evaluation refuses to run without a real checkpoint (a silent
+    # random-policy eval would fabricate success-rate CSVs)
+    with pytest.raises(FileNotFoundError):
+        trainer.testRL(num_episodes=1,
+                       policy_path=str(tmp_path / "nope"))
+    policy = build_policy(cfg, make(cfg.RLEnvName).action_space)
+    dummy = {
+        "robot_pose": jnp.zeros((1, 2)),
+        "goal_sound_feat": jnp.zeros((1, 3)),
+        "image": jnp.zeros((1, 3, 96, 96)),
+        "image_feat": jnp.zeros((1, 3)),
+    }
+    pv = policy.init(jax.random.PRNGKey(0), dummy,
+                     jnp.zeros((1, cfg.RLRecurrentSize)), jnp.ones((1, 1)), 1)
+    ckpt = str(tmp_path / "policy_ckpt")
+    save_checkpoint(ckpt, {"params": pv["params"]})
+    rate = trainer.testRL(num_episodes=3, policy_path=ckpt)
     assert 0.0 <= rate <= 1.0
 
 

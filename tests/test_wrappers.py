@@ -150,3 +150,28 @@ def test_nonrecurrent_ppo_update():
 
     for v in metrics.values():
         assert bool(jnp.isfinite(v))
+
+
+def test_kvlogger_csv_grows_columns_and_survives_restart(tmp_path):
+    """New keys widen the CSV header (old rows padded) instead of being
+    dropped, and a process restart adopts the existing header instead of
+    appending a second one."""
+    lg = KVLogger(log_dir=str(tmp_path), formats=["csv"])
+    lg.logkv("a", 1)
+    lg.dumpkvs()
+    lg.logkv("a", 2)
+    lg.logkv("b", 3)
+    lg.dumpkvs()
+    path = tmp_path / "progress_kv.csv"
+    lines = path.read_text().splitlines()
+    assert lines[0] == "a,b"
+    assert lines[1].startswith("1") and lines[1].endswith(",")
+    assert lines[2] == "2,3"
+    # restart: header adopted, not duplicated
+    lg2 = KVLogger(log_dir=str(tmp_path), formats=["csv"])
+    lg2.logkv("a", 4)
+    lg2.logkv("b", 5)
+    lg2.dumpkvs()
+    lines = path.read_text().splitlines()
+    assert lines.count("a,b") == 1
+    assert lines[-1] == "4,5"

@@ -40,11 +40,20 @@ def build_config(args, role: str):
         try:
             value = ast.literal_eval(raw)
         except (ValueError, SyntaxError):
-            value = raw  # bare strings allowed: --set RLPolicyBase=arm_VAR
+            low = raw.strip().lower()
+            if low in ("true", "false"):
+                # 'false' must not become a TRUTHY string silently
+                value = low == "true"
+            elif low in ("none", "null"):
+                value = None
+            else:
+                value = raw  # bare strings: --set RLPolicyBase=arm_VAR
         overrides[key] = value
     if overrides:
         try:
             config.override(**overrides)
         except AttributeError as e:
             raise SystemExit(str(e))
+        # re-validate: the __init__-time check only saw the defaults
+        config.cfg_check()
     return config

@@ -154,6 +154,17 @@ class AI2ThorConfig(ConfigBase):
 
         self.cfg_check()
 
+    def _recompute_derived(self, explicit):
+        """Keep coupled knobs in sync after override() (see base.py)."""
+        d = self.__dict__
+        if ("pretextModelFineTune" in explicit
+                and "pretextDataset" not in explicit):
+            d["pretextDataset"] = ("VARFineTuneDataset"
+                                   if self.pretextModelFineTune
+                                   else "VARDataset")
+        if "RLEnvMaxSteps" in explicit and "ppoNumSteps" not in explicit:
+            d["ppoNumSteps"] = self.RLEnvMaxSteps
+
     def get_env_config(self, env_config_cls=None):
         cls = env_config_cls if env_config_cls is not None else AI2ThorEnvConfig
         super().get_env_config(cls)

@@ -122,27 +122,7 @@ class ArmConfig(ConfigBase):
         self.commonMediaPath = os.path.join("commonMedia")
 
         self.soundSourcePreset = "normal"
-        if self.soundSourcePreset == "mix":
-            self.sound_dim = (1, 100, 40)
-            self.soundSource = {
-                "dataset": ["GoogleCommand", "UrbanSound"],
-                "items": {
-                    "GoogleCommand": ["house", "tree", "bird", "dog"],
-                    "UrbanSound": ["jackhammer", None, None, "dog_bark"],
-                },
-                "size": {"GoogleCommand": [25, 50, 50, 25], "UrbanSound": [25, 0, 0, 25]},
-                "train_test": "test",
-            }
-        else:
-            self.sound_dim = (1, 100, 40)
-            self.soundSource = {
-                "dataset": ["GoogleCommand"],
-                "max_sound_dur": {"GoogleCommand": 6.0},
-                "items": {"GoogleCommand": ["zero", "one", "two", "three"]},
-                "size": {"GoogleCommand": [1000] * 4},
-                "train_test": "train",
-            }
-        self.taskNum = len(self.soundSource["items"][self.soundSource["dataset"][0]])
+        self._apply_sound_preset()
         self.ifReset = True
 
         # --- TPU / backend settings (new; no reference counterpart) ---
@@ -161,6 +141,48 @@ class ArmConfig(ConfigBase):
         self.RLPipelinedRollout = False
 
         self.cfg_check()
+
+    def _apply_sound_preset(self):
+        """Expand soundSourcePreset into soundSource/sound_dim/taskNum
+        (reference: .../fourInARow/config.py:120-139); re-run by
+        _recompute_derived when the preset is overridden."""
+        d = self.__dict__  # bypass reassign warnings: these ARE derived
+        if self.soundSourcePreset == "mix":
+            d["sound_dim"] = (1, 100, 40)
+            d["soundSource"] = {
+                "dataset": ["GoogleCommand", "UrbanSound"],
+                "items": {
+                    "GoogleCommand": ["house", "tree", "bird", "dog"],
+                    "UrbanSound": ["jackhammer", None, None, "dog_bark"],
+                },
+                "size": {"GoogleCommand": [25, 50, 50, 25],
+                         "UrbanSound": [25, 0, 0, 25]},
+                "train_test": "test",
+            }
+        else:
+            d["sound_dim"] = (1, 100, 40)
+            d["soundSource"] = {
+                "dataset": ["GoogleCommand"],
+                "max_sound_dur": {"GoogleCommand": 6.0},
+                "items": {"GoogleCommand": ["zero", "one", "two", "three"]},
+                "size": {"GoogleCommand": [1000] * 4},
+                "train_test": "train",
+            }
+        d["taskNum"] = len(
+            self.soundSource["items"][self.soundSource["dataset"][0]])
+
+    def _recompute_derived(self, explicit):
+        """Keep coupled knobs in sync after override() (see base.py)."""
+        d = self.__dict__
+        if ("pretextModelFineTune" in explicit
+                and "pretextDataset" not in explicit):
+            d["pretextDataset"] = ("VARFineTuneDataset"
+                                   if self.pretextModelFineTune
+                                   else "VARDataset")
+        if "RLEnvMaxSteps" in explicit and "ppoNumSteps" not in explicit:
+            d["ppoNumSteps"] = self.RLEnvMaxSteps
+        if "soundSourcePreset" in explicit and "soundSource" not in explicit:
+            self._apply_sound_preset()
 
     def get_env_config(self, env_config_cls=None):
         cls = env_config_cls if env_config_cls is not None else KukaEnvConfig

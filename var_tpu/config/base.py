@@ -49,11 +49,20 @@ class ConfigBase:
         self.__dict__[name] = value
 
     def override(self, **kwargs):
-        """Silently override knobs (for programmatic/CLI configuration)."""
+        """Silently override knobs (for programmatic/CLI configuration).
+
+        Knobs derived from other knobs at __init__ time (pretextDataset
+        from pretextModelFineTune, ppoNumSteps from RLEnvMaxSteps, the
+        soundSource preset expansion) are recomputed afterwards unless
+        the caller overrode them explicitly — otherwise a flag override
+        silently desynchronizes its couplings."""
         for k, v in kwargs.items():
             if k not in self.__dict__:
                 raise AttributeError(f"Unknown config knob {k!r}")
             self.__dict__[k] = v
+        hook = getattr(self, "_recompute_derived", None)
+        if hook is not None:
+            hook(set(kwargs))
         return self
 
     def cfg_check(self):

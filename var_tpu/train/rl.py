@@ -61,6 +61,24 @@ class RLTrainer:
         restored = load_checkpoint(path)
         return restored["params"]
 
+    def load_policy_state(self, path):
+        """(params, opt_state | None, step | None): full-training-state
+        resume — save_policy always writes optimizer state + step, and the
+        fine-tune path restores them so Adam moments and the update
+        counter continue instead of resetting (unlike the reference's
+        weights-only load, RL.py:62)."""
+        restored = load_checkpoint(path)
+        return (restored["params"], restored.get("opt_state"),
+                restored.get("step"))
+
+    def _resume_state(self, variables, resume):
+        self.state = self.ppo.init_state(variables["params"])
+        params, opt_state, step = resume
+        if opt_state is not None:
+            self.state = PPOState(
+                variables["params"], opt_state,
+                jnp.asarray(int(step) if step is not None else 0, jnp.int32))
+
     # -- env construction ----------------------------------------------------
 
     def _make_envs(self, num_processes, gamma):
@@ -93,7 +111,6 @@ class RLTrainer:
         only one packed (action, raw reward) array per env step, and the
         PPO update consumes the buffers with zero re-upload
         (var_tpu/rl/rollout_device.py)."""
-        from var_tpu.envs.vec.factory import make_vec_envs
         from var_tpu.rl.rollout_device import DeviceRolloutEngine
 
         cfg = self.config
@@ -144,12 +161,14 @@ class RLTrainer:
         variables = self.policy.init(
             jax.random.PRNGKey(cfg.RLEnvSeed), dummy_obs,
             jnp.zeros((N, H)), jnp.ones((N, 1)), 1)
+        resume = (None, None, None)
         if cfg.RLModelFineTune and os.path.exists(cfg.RLModelLoadDir):
             print("Load the weights from", cfg.RLModelLoadDir)
-            variables = {"params": self.load_policy_params(cfg.RLModelLoadDir)}
+            resume = self.load_policy_state(cfg.RLModelLoadDir)
+            variables = {"params": resume[0]}
 
         self.ppo = PPO(self.policy, PPOConfig.from_config(cfg))
-        self.state = self.ppo.init_state(variables["params"])
+        self._resume_state(variables, resume)
         engine.set_policy_params(self.state.params)
 
         self.rng, sub = jax.random.split(self.rng)
@@ -160,6 +179,9 @@ class RLTrainer:
         logger = CSVLogger(os.path.join(cfg.RLModelSaveDir, "progress.csv"))
         start = time.time()
         num_updates = total_steps // T // N
+        if num_updates == 0:
+            print(f"WARNING: RLTotalSteps={total_steps} < ppoNumSteps*"
+                  f"RLNumEnvs={T * N}: no PPO updates will run")
 
         # Pipelined mode (RLPipelinedRollout): the env applies the action
         # computed from the PREVIOUS observation (one-step-stale protocol),
@@ -263,9 +285,6 @@ class RLTrainer:
         cfg.save_json(os.path.join(cfg.RLModelSaveDir, "config.json"))
 
         envs = self._make_envs(cfg.RLNumEnvs, cfg.RLGamma)
-        obs_space = envs.venv.observation_space if hasattr(envs, "venv") else \
-            envs.observation_space
-
         self.policy = build_policy(cfg, envs.action_space)
         T, N = cfg.ppoNumSteps, cfg.RLNumEnvs
         H = self.policy.recurrent_hidden_state_size
@@ -276,12 +295,14 @@ class RLTrainer:
         variables = self.policy.init(
             jax.random.PRNGKey(cfg.RLEnvSeed), self._obs_to_device(obs), hx,
             masks, 1)
+        resume = (None, None, None)
         if cfg.RLModelFineTune and os.path.exists(cfg.RLModelLoadDir):
             print("Load the weights from", cfg.RLModelLoadDir)
-            variables = {"params": self.load_policy_params(cfg.RLModelLoadDir)}
+            resume = self.load_policy_state(cfg.RLModelLoadDir)
+            variables = {"params": resume[0]}
 
         self.ppo = PPO(self.policy, PPOConfig.from_config(cfg))
-        self.state = self.ppo.init_state(variables["params"])
+        self._resume_state(variables, resume)
 
         # rollout storage over the *processed* obs space (the reward wrapper
         # rewrites the dict; RLObsIgnore keys are already gone)
@@ -294,6 +315,9 @@ class RLTrainer:
         logger = CSVLogger(os.path.join(cfg.RLModelSaveDir, "progress.csv"))
         start = time.time()
         num_updates = total_steps // T // N
+        if num_updates == 0:
+            print(f"WARNING: RLTotalSteps={total_steps} < ppoNumSteps*"
+                  f"RLNumEnvs={T * N}: no PPO updates will run")
 
         for j in range(num_updates):
             for step in range(T):
@@ -396,9 +420,14 @@ class RLTrainer:
         variables = self.policy.init(
             jax.random.PRNGKey(0), self._obs_to_device(obs), hx, masks, 1)
         path = policy_path or cfg.skillInfos[0]["path"]
-        if os.path.exists(path):
-            variables = {"params": self.load_policy_params(path)}
-            print("Load the weights from", path)
+        if not os.path.exists(path):
+            # the reference asserts here too (RL.py:42) — evaluating a
+            # randomly initialized policy silently would produce a
+            # convincing-looking but meaningless success-rate CSV
+            raise FileNotFoundError(
+                f"policy checkpoint {path!r} does not exist")
+        variables = {"params": self.load_policy_params(path)}
+        print("Load the weights from", path)
 
         episode_num = (int(base_env.size_per_class_cumsum[-1])
                        if base_env is not None else 20)

@@ -55,7 +55,14 @@ def self_improve(
         config.override(pretextModelLoadDir=os.path.join(
             config.pretextModelSaveDir, str(last_ep)))
 
-        # 3. fine-tune the policy against the improved VAR
+        # 3. fine-tune the policy against the improved VAR, resuming from
+        # the NEWEST checkpoint of the previous round (not the stale
+        # first-interval save the default RLModelLoadDir points at)
+        from var_tpu.train.checkpoint import latest_checkpoint
+
+        newest = latest_checkpoint(config.RLModelSaveDir)
+        if newest is not None:
+            config.override(RLModelLoadDir=newest)
         config.override(RLTrain=True, RLModelFineTune=True)
         rl = RLTrainer(config, env=env)
         rl.load_pretext()

@@ -50,17 +50,41 @@ class KVLogger:
                 with open(os.path.join(self.log_dir, "progress.jsonl"), "a") as f:
                     f.write(json.dumps(out, default=float) + "\n")
             if "csv" in self.formats:
-                path = os.path.join(self.log_dir, "progress_kv.csv")
-                if self._csv_keys is None:
-                    self._csv_keys = sorted(out)
-                    with open(path, "a") as f:
-                        f.write(",".join(self._csv_keys) + "\n")
-                with open(path, "a") as f:
-                    f.write(",".join(str(out.get(k, "")) for k in
-                                     self._csv_keys) + "\n")
+                self._dump_csv(out)
         self.kvs.clear()
         self.counts.clear()
         return out
+
+    def _dump_csv(self, out: Dict[str, float]):
+        """CSV with a growing column set (the vendored baselines logger's
+        behavior, Envs/vec_env/logger.py:198-230): new keys REWRITE the
+        file with the widened header instead of being dropped, and a
+        restart against an existing file adopts its header instead of
+        appending a second one."""
+        path = os.path.join(self.log_dir, "progress_kv.csv")
+        if self._csv_keys is None:
+            if os.path.exists(path):
+                with open(path) as f:
+                    header = f.readline().strip()
+                self._csv_keys = header.split(",") if header else []
+            else:
+                self._csv_keys = []
+        new_keys = sorted(set(out) - set(self._csv_keys))
+        if new_keys:
+            self._csv_keys = list(self._csv_keys) + new_keys
+            rows = []
+            if os.path.exists(path):
+                with open(path) as f:
+                    lines = f.read().splitlines()
+                rows = lines[1:] if lines else []
+            with open(path, "w") as f:
+                f.write(",".join(self._csv_keys) + "\n")
+                pad = "," * len(new_keys)
+                for r in rows:
+                    f.write(r + pad + "\n")
+        with open(path, "a") as f:
+            f.write(",".join(str(out.get(k, "")) for k in
+                             self._csv_keys) + "\n")
 
     @contextlib.contextmanager
     def profile_kv(self, name: str):

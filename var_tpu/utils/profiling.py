@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Dict, Iterator, Optional
 
 
@@ -30,11 +30,18 @@ def device_trace(log_dir: Optional[str]) -> Iterator[None]:
 
 class PhaseTimer:
     """Accumulates wall-clock per named phase ('env_step', 'var_reward',
-    'policy_act', 'ppo_update', ...)."""
+    'policy_act', 'ppo_update', ...). Keeps a bounded window of recent
+    samples per phase so p50_ms reports a true median — the cumulative
+    mean would let one compile-time outlier (seconds) pollute the
+    steady-state number (milliseconds) for the whole run."""
+
+    WINDOW = 512  # recent samples kept per phase
 
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self.samples: Dict[str, deque] = defaultdict(
+            lambda: deque(maxlen=self.WINDOW))
 
     @contextlib.contextmanager
     def phase(self, name: str) -> Iterator[None]:
@@ -42,8 +49,10 @@ class PhaseTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
             self.counts[name] += 1
+            self.samples[name].append(dt)
 
     def summary(self) -> Dict[str, Dict[str, float]]:
         return {
@@ -51,15 +60,19 @@ class PhaseTimer:
                 "total_s": round(self.totals[k], 4),
                 "count": self.counts[k],
                 "mean_ms": round(1e3 * self.totals[k] / max(1, self.counts[k]), 3),
+                "p50_ms": round(self.p50_ms(k), 3),
             }
             for k in sorted(self.totals)
         }
 
     def p50_ms(self, name: str) -> float:
-        if not self.counts.get(name):
+        window = self.samples.get(name)
+        if not window:
             return 0.0
-        return 1e3 * self.totals[name] / self.counts[name]
+        ordered = sorted(window)
+        return 1e3 * ordered[len(ordered) // 2]
 
     def reset(self):
         self.totals.clear()
         self.counts.clear()
+        self.samples.clear()
