@@ -175,3 +175,72 @@ def test_kvlogger_csv_grows_columns_and_survives_restart(tmp_path):
     lines = path.read_text().splitlines()
     assert lines.count("a,b") == 1
     assert lines[-1] == "4,5"
+
+
+def test_vec_normalize_flat_obs():
+    """VecNormalize (the repaired baselines wrapper): running obs/return
+    normalization with clipping, return reset at episode ends."""
+    from var_tpu.envs.vec.base import VecEnv
+    from var_tpu.envs.vec.wrappers import VecNormalize
+
+    class FlatEnv(VecEnv):
+        def __init__(self):
+            from var_tpu.envs import spaces as S
+
+            super().__init__(2, S.Box(-np.inf, np.inf, shape=(3,)),
+                             S.Discrete(2))
+            self.t = 0
+
+        def reset(self):
+            self.t = 0
+            return np.ones((2, 3), np.float32)
+
+        def step_async(self, actions):
+            pass
+
+        def step_wait(self):
+            self.t += 1
+            obs = np.full((2, 3), float(self.t), np.float32)
+            rews = np.array([1.0, -1.0]) * self.t
+            news = np.array([self.t % 3 == 0, False])
+            return obs, rews, news, ({}, {})
+
+    venv = VecNormalize(FlatEnv(), ob=True, ret=True, clipob=5.0, cliprew=5.0)
+    obs = venv.reset()
+    assert obs.shape == (2, 3)
+    for _ in range(6):
+        obs, rews, news, _ = venv.step([0, 1])
+        assert np.all(np.abs(obs) <= 5.0)
+        assert np.all(np.abs(rews) <= 5.0)
+    # return accumulator resets where an episode ended
+    assert venv.ret[0] == 0.0 or not news[0]
+    venv.close()
+
+
+def test_multibinary_bernoulli_head():
+    """MultiBinary action space -> Bernoulli distribution head (the
+    reference's Policy dispatch, models/ppo/model.py:39-41)."""
+    import jax
+    import jax.numpy as jnp
+
+    from var_tpu.envs import spaces as S
+    from var_tpu.models.distributions import (
+        entropy, log_probs, make_head, mode, sample)
+
+    space = S.MultiBinary(4)
+    x = space.sample(np.random.RandomState(0))
+    assert space.contains(x) and x.shape == (4,)
+    assert not space.contains(np.array([0, 2, 1, 0]))
+
+    head = make_head(space)
+    feats = jnp.zeros((3, 8))
+    params = head.init(jax.random.PRNGKey(0), feats)
+    dist = head.apply(params, feats)
+    a = sample(dist, jax.random.PRNGKey(1))
+    assert a.shape == (3, 4)
+    assert set(np.unique(np.asarray(a))) <= {0.0, 1.0}
+    lp = log_probs(dist, a)
+    assert lp.shape == (3, 1) and np.isfinite(np.asarray(lp)).all()
+    m = mode(dist)
+    assert m.shape == (3, 4)
+    assert np.isfinite(float(jnp.mean(entropy(dist))))

@@ -47,9 +47,13 @@ class Box(Space):
     def sample(self, rng: np.random.RandomState):
         low = np.where(np.isfinite(self.low), self.low, -1.0)
         high = np.where(np.isfinite(self.high), self.high, 1.0)
-        x = rng.uniform(low=low, high=high, size=self.shape)
         if np.issubdtype(self.dtype, np.integer):
-            x = np.round(x)
+            # uniform over integers incl. both endpoints (rounding a
+            # continuous draw would halve the endpoint probabilities)
+            return rng.randint(low.astype(np.int64),
+                               high.astype(np.int64) + 1,
+                               size=self.shape).astype(self.dtype)
+        x = rng.uniform(low=low, high=high, size=self.shape)
         return x.astype(self.dtype)
 
     def contains(self, x) -> bool:
@@ -74,10 +78,39 @@ class Discrete(Space):
         return np.int64(rng.randint(self.n))
 
     def contains(self, x) -> bool:
-        return 0 <= int(x) < self.n
+        try:
+            x = np.asarray(x)
+            if x.size != 1:
+                return False
+            return 0 <= int(x.reshape(())) < self.n
+        except (TypeError, ValueError):
+            return False
 
     def __repr__(self):
         return f"Discrete({self.n})"
+
+
+@dataclass
+class MultiBinary(Space):
+    """n independent {0,1} flags (gym.spaces.MultiBinary — the reference's
+    Policy dispatches a Bernoulli head for it, models/ppo/model.py:39-41)."""
+
+    n: int
+    shape: Tuple[int, ...] = field(default=None, init=False)
+    dtype: np.dtype = field(default=np.int8, init=False)
+
+    def __post_init__(self):
+        self.shape = (self.n,)
+
+    def sample(self, rng: np.random.RandomState):
+        return rng.randint(0, 2, size=(self.n,)).astype(self.dtype)
+
+    def contains(self, x) -> bool:
+        x = np.asarray(x)
+        return x.shape == (self.n,) and bool(np.isin(x, (0, 1)).all())
+
+    def __repr__(self):
+        return f"MultiBinary({self.n})"
 
 
 class DictSpace(Space):

@@ -8,8 +8,6 @@ here they are small working implementations on our VecEnv protocol.
 """
 from __future__ import annotations
 
-from collections import OrderedDict
-
 import numpy as np
 
 from var_tpu.ops.running_stats import RunningMeanStd, rms_update

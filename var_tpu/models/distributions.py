@@ -139,10 +139,12 @@ class BernoulliHead(nn.Module):
 def make_head(action_space) -> nn.Module:
     """Head by action-space class, as the reference Policy does
     (models/ppo/model.py:33-43)."""
-    from var_tpu.envs.spaces import Box, Discrete
+    from var_tpu.envs.spaces import Box, Discrete, MultiBinary
 
     if isinstance(action_space, Discrete):
         return CategoricalHead(action_space.n)
     if isinstance(action_space, Box):
         return DiagGaussianHead(int(np.prod(action_space.shape)))
+    if isinstance(action_space, MultiBinary):
+        return BernoulliHead(action_space.n)
     raise NotImplementedError(type(action_space))

@@ -11,9 +11,10 @@ import numpy as np
 
 
 def plot_representation(points: dict, representation_dim: int, out_path: str):
-    import matplotlib
-
-    matplotlib.use("Agg")
+    # Render on a LOCAL Agg canvas: matplotlib.use() would switch the
+    # process-global backend and close every open figure (killing a live
+    # realTimeVec window); pyplot is only used for figure construction
+    # here and the figure is always closed.
     import matplotlib.pyplot as plt
 
     img = points["img"]
@@ -50,6 +51,16 @@ def plot_representation(points: dict, representation_dim: int, out_path: str):
     return out_path
 
 
+def _first3(v: np.ndarray) -> np.ndarray:
+    """First 3 components, re-normalized when the embedding is higher-D
+    (keeps the arrow on the unit sphere)."""
+    if len(v) <= 3:
+        return v
+    v3 = v[:3]
+    n = np.linalg.norm(v3)
+    return v3 / n if n > 1e-9 else v3
+
+
 def display_available() -> bool:
     """True when an interactive matplotlib window can be opened."""
     import os
@@ -72,6 +83,16 @@ class RealTimeEmbeddingPlot:
                  interactive: "bool | None" = None):
         import matplotlib
 
+        if representation_dim > 3:
+            import warnings
+
+            warnings.warn(
+                "RealTimeEmbeddingPlot: representationDim "
+                f"{representation_dim} > 3; the live view shows the "
+                "L2-normalized first 3 components (the offline "
+                "plot_representation uses t-SNE for the full view)")
+        self.representation_dim = representation_dim
+
         self.interactive = (display_available() if interactive is None
                             else interactive)
         if not self.interactive:
@@ -87,6 +108,11 @@ class RealTimeEmbeddingPlot:
                 plt.ion()
                 probe = plt.figure()
                 plt.close(probe)
+                # a successful probe on a NON-interactive backend (e.g.
+                # MPLBACKEND=Agg with a stale DISPLAY) is still headless:
+                # report it as such so callers take the frame-dump path
+                if "agg" in matplotlib.get_backend().lower():
+                    self.interactive = False
             except Exception:
                 self.interactive = False
                 matplotlib.use("Agg", force=True)
@@ -125,14 +151,14 @@ class RealTimeEmbeddingPlot:
             self.quiver_img.remove()
             self.quiver_img = None
         if v_img is not None:
-            v = np.asarray(v_img)[0]
+            v = _first3(np.asarray(v_img)[0])
             self.quiver_img = self.ax.quiver(
                 0.0, 0.0, 0.0, v[0], v[1], v[2], color="m", alpha=0.6, lw=3)
         if self.quiver_sound is not None:
             self.quiver_sound.remove()
             self.quiver_sound = None
         if v_sound is not None:
-            v = np.asarray(v_sound)[0]
+            v = _first3(np.asarray(v_sound)[0])
             self.quiver_sound = self.ax.quiver(
                 0.0, 0.0, 0.0, v[0], v[1], v[2], color="c", alpha=1.0, lw=3)
         if text:
