@@ -44,11 +44,11 @@ def main():
         RLNumEnvs=4,
         RLEnvMaxSteps=20,
         ppoNumSteps=20,
-        RLTotalSteps=4 * 20 * 10,  # 10 PPO updates
+        RLTotalSteps=4 * 20 * 5,  # 5 PPO updates
         RLModelSaveInterval=5,
         RLLogInterval=1,
     )
-    cfg.skillInfos[0]["path"] = os.path.join(work, "rl_model", "00009")
+    cfg.skillInfos[0]["path"] = os.path.join(work, "rl_model", "00004")
     gym_register(cfg, env=env)
 
     print("=== stage 1: collect triplets + train the VAR ===")
@@ -68,7 +68,7 @@ def main():
     cfg.override(RLTrain=False)
     rl_eval = RLTrainer(cfg, env=env)
     rl_eval.load_pretext()
-    rate = rl_eval.testRL(num_episodes=8)
+    rate = rl_eval.testRL(num_episodes=4)
     print(f"quickstart complete; success rate {rate:.2f}; artifacts in {work}")
 
 
