@@ -100,7 +100,39 @@ def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 96):
             state, d_img, d_wav, d_len, *epoch_indices(S))
     losses.block_until_ready()
     dt = time.perf_counter() - t0
-    return BATCH * S * epochs / dt
+    resident_tps = BATCH * S * epochs / dt
+
+    # Streaming fallback (larger-than-HBM datasets): per-step full-batch
+    # host->device transfer (u8 images + i16 waveforms) + the fused
+    # wav-step, with the next batch's assembly + transfer double-buffered
+    # on a worker thread exactly like PretextTrainer._prefetch_epoch.
+    import concurrent.futures as cf
+
+    rng3 = np.random.RandomState(5)
+
+    def host_batch():
+        i = rng3.randint(0, N, size=BATCH)
+        p_ids, p_zero = audio.sample_clip_ids(gts[i], ranges, rng3)
+        n_ids, n_zero = audio.sample_clip_ids(sns[i], ranges, rng3)
+        return (images[i], bank_wav[p_ids], bank_len[p_ids], p_zero,
+                bank_wav[n_ids], bank_len[n_ids], n_zero)
+
+    def produce():
+        return tuple(jax.device_put(a) for a in host_batch())
+
+    state, loss = trainer._train_step_wav(state, *produce())  # compile
+    loss.block_until_ready()
+    S2 = 16
+    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+        t0 = time.perf_counter()
+        fut = ex.submit(produce)
+        for _ in range(S2):
+            dev = fut.result()
+            fut = ex.submit(produce)
+            state, loss = trainer._train_step_wav(state, *dev)
+        loss.block_until_ready()
+        streaming_tps = BATCH * S2 / (time.perf_counter() - t0)
+    return resident_tps, streaming_tps
 
 
 def bench_torch_cpu(cfg, audio, batches, iters: int = 2):
@@ -214,6 +246,9 @@ def bench_rl():
         def run_ours():
             try:
                 ours_box["v"] = rl_bench.bench_ours_both()
+                # third north-star metric: wrapper-path VAR
+                # reward-inference p50 on the real chip (BASELINE.json)
+                ours_box["var_p50"] = rl_bench.bench_var_reward_p50()
             except Exception as e:  # pragma: no cover - defensive
                 ours_box["e"] = e
 
@@ -224,15 +259,20 @@ def bench_rl():
         th.join()
         if "e" in ours_box:
             raise ours_box["e"]
-        ours_exact, ours_pipe = ours_box["v"]
+        ours_exact, ours_pipe, fused_p50 = ours_box["v"]
+        var_p50 = ours_box.get("var_p50")
         print(f"# rl ours: exact {ours_exact:.1f}, pipelined "
-              f"{ours_pipe:.1f} env-steps/s", file=sys.stderr)
+              f"{ours_pipe:.1f} env-steps/s; var reward p50 "
+              f"{var_p50:.2f} ms, fused step p50 {fused_p50:.2f} ms",
+              file=sys.stderr)
         return {
             "metric": "ppo_env_steps_per_sec",
             "value": round(ours_exact, 1),
             "unit": "env-steps/s",
             "vs_baseline": round(ours_exact / ref, 2) if ref else None,
             "pipelined_mode": round(ours_pipe, 1),
+            "var_reward_p50_ms": round(var_p50, 3) if var_p50 else None,
+            "fused_step_p50_ms": round(fused_p50, 3) if fused_p50 else None,
         }
     except Exception as e:  # pragma: no cover - defensive
         print(f"# rl bench failed: {e}", file=sys.stderr)
@@ -241,8 +281,9 @@ def bench_rl():
 
 def main():
     cfg, audio, batches = _make_batches(4)
-    tpu_tps = bench_tpu(cfg, audio, batches)
-    print(f"# tpu: {tpu_tps:.1f} triplets/s", file=sys.stderr)
+    tpu_tps, stream_tps = bench_tpu(cfg, audio, batches)
+    print(f"# tpu: {tpu_tps:.1f} triplets/s (device-resident), "
+          f"{stream_tps:.1f} (streaming double-buffered)", file=sys.stderr)
     try:
         cpu_tps = bench_torch_cpu(cfg, audio, batches)
         print(f"# torch-cpu baseline: {cpu_tps:.1f} triplets/s", file=sys.stderr)
@@ -256,6 +297,7 @@ def main():
         "value": round(tpu_tps, 1),
         "unit": "triplets/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "streaming_mode": round(stream_tps, 1),
         "rl": rl,
     }))
 

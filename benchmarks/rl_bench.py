@@ -33,7 +33,7 @@ def bench_ours(updates: int = 1, pipelined: bool = False):
     """Single-mode wrapper kept for direct use; bench_ours_both() measures
     both modes on one compiled engine (the compile dominates on the
     tunneled chip, and the two modes share every program)."""
-    exact, pipe = bench_ours_both(updates)
+    exact, pipe, _ = bench_ours_both(updates)
     return pipe if pipelined else exact
 
 
@@ -72,12 +72,15 @@ def bench_ours_both(updates: int = 1):
     eng.set_policy_params(state.params)
     action = eng.init(raw, jax.random.PRNGKey(1))
 
+    fused_step_ms = []  # exact-mode dispatch+readback latency per step
+
     def one_update(action, key, pipelined):
         nonlocal state
         pending = None
         for t in range(T):
             raw, er, done, infos = envs.step(action)
             key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
             fut = eng.step_async(t, raw, er, done, np.ones(N_ENVS), sub)
             if pipelined:
                 # one-step-stale protocol: overlap the next sim step with
@@ -87,6 +90,7 @@ def bench_ours_both(updates: int = 1):
                 pending = fut
             else:
                 action, _ = eng.read_packed(fut)
+                fused_step_ms.append((time.perf_counter() - t0) * 1e3)
         if pending is not None:
             action, _ = eng.read_packed(pending)
         eng.compute_returns(cfg.ppoUseGAE, cfg.RLGamma, cfg.ppoGAELambda,
@@ -103,6 +107,7 @@ def bench_ours_both(updates: int = 1):
     action, key = one_update(action, key, False)
 
     results = []
+    fused_step_ms.clear()  # drop the compile-inflated warmup samples
     for pipelined in (False, True):
         t0 = time.perf_counter()
         for _ in range(updates):
@@ -110,7 +115,45 @@ def bench_ours_both(updates: int = 1):
         dt = time.perf_counter() - t0
         results.append(N_ENVS * T * updates / dt)
     envs.close()
-    return tuple(results)
+    # fused VAR-reward + policy-act step p50 (exact mode: the dispatch +
+    # the ONE device->host readback; BASELINE.json "VAR reward-inference
+    # p50 ms" measured on the production fused path)
+    p50 = float(np.percentile(fused_step_ms, 50)) if fused_step_ms else None
+    return results[0], results[1], p50
+
+
+def bench_var_reward_p50(steps: int = 40):
+    """Wrapper-path VAR reward-inference p50 ms (reference:
+    vec_pretext_normalize.py:82-101 getEmbeddings+calcReward per step;
+    ours: rl/reward.py step_wait 'var_reward' phase timer). This is the
+    per-step frozen-VAR batched inference incl. obs-dict rebuild, on the
+    real device."""
+    import jax
+
+    from var_tpu.config import gym_register, main_config
+    from var_tpu.envs.vec.factory import make_vec_envs
+    from var_tpu.models.encoders import build_pretext_model, init_pretext_params
+
+    cfg = main_config(env="arms")
+    cfg.override(RLTrain=True, RLModelFineTune=False, RLNumEnvs=N_ENVS,
+                 vecEnvBackend="dummy", fusedRollout=False)
+    gym_register(cfg, env="arms")
+    model = build_pretext_model(cfg)
+    params = init_pretext_params(model, cfg, jax.random.PRNGKey(0))["params"]
+    envs = make_vec_envs(cfg.RLEnvName, cfg.RLEnvSeed, N_ENVS, cfg.RLGamma,
+                         False, cfg, pretext_model=model,
+                         pretext_params=params)
+    envs.reset()
+    action = np.zeros((N_ENVS, 2), np.float32)
+    for _ in range(3):  # warmup/compile both jit variants
+        envs.step(action)
+    # (p50 over steps+3 samples is insensitive to the 3 compile-inflated
+    # warmup outliers — no timer reset needed through the wrapper chain)
+    for _ in range(steps):
+        envs.step(action)
+    p50 = envs.timer.p50_ms("var_reward")
+    envs.close()
+    return float(p50)
 
 
 def bench_torch_cpu(updates: int = 1, t_steps: int = T):
@@ -309,9 +352,12 @@ def main():
     # headline = exact reference semantics (blocking rollout), matching
     # the torch twin's protocol; the one-step-stale pipelined mode is
     # reported separately (it changes rollout semantics, default-off)
-    ours, ours_pipe = bench_ours_both()
+    ours, ours_pipe, fused_p50 = bench_ours_both()
     print(f"# ours (exact): {ours:.1f} env-steps/s", file=sys.stderr)
     print(f"# ours (pipelined): {ours_pipe:.1f} env-steps/s", file=sys.stderr)
+    var_p50 = bench_var_reward_p50()
+    print(f"# var reward p50: {var_p50:.2f} ms (wrapper), fused step p50: "
+          f"{fused_p50:.2f} ms", file=sys.stderr)
     try:
         ref = bench_torch_cpu()  # same T as ours — no normalization needed
         print(f"# torch-cpu reference twin: {ref:.1f} env-steps/s",
@@ -326,6 +372,8 @@ def main():
         "vs_baseline": round(ours / ref, 2) if ref else None,
         "pipelined_mode": round(ours_pipe, 1),
         "torch_cpu_baseline": round(ref, 1) if ref else None,
+        "var_reward_p50_ms": round(var_p50, 3),
+        "fused_step_p50_ms": round(fused_p50, 3) if fused_p50 else None,
         "rollout_T": T,
     }))
 

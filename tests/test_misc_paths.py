@@ -133,3 +133,27 @@ def test_checkpoint_resume_with_optimizer_state(tmp_path):
     updates2, _ = tx.update(g, restored["opt_state"], restored["params"])
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(updates2))
+
+
+def test_goal_audio_playback(monkeypatch):
+    """Render-mode goal-audio playback (reference: RL_env_VAR.py:507,513):
+    silent no-op without sounddevice/an output device; hands the clip to
+    the backend non-blocking when one exists."""
+    import var_tpu.utils.audio_play as ap
+
+    # headless container: no sounddevice package -> graceful False
+    monkeypatch.setattr(ap, "_sd", None)
+    assert ap.play_clip(np.zeros(100, np.int16)) is False
+    assert ap._sd is False  # resolution cached
+
+    calls = []
+
+    class FakeSD:
+        def play(self, clip, samplerate, blocking):
+            calls.append((len(clip), samplerate, blocking))
+
+    monkeypatch.setattr(ap, "_sd", FakeSD())
+    assert ap.play_clip(np.zeros(160, np.int16)) is True
+    assert calls == [(160, 16000, False)]
+    assert ap.play_clip(None) is False  # no clip -> no call
+    assert len(calls) == 1

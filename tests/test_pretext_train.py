@@ -125,6 +125,38 @@ def test_multistep_lr_resume_and_fold():
     assert abs(float(resumed(spe)) - 0.01) < 1e-6  # global epoch 4
 
 
+def test_pretext_lr_step_none_is_constant():
+    """pretextLRStep != 'step' -> constant LR, no MultiStepLR decay
+    (reference: utils.py:42-47 returns no scheduler unless 'step')."""
+    import jax.numpy as jnp
+    import optax
+
+    from var_tpu.config import main_config
+    from var_tpu.train.pretext import make_optimizer
+
+    cfg = main_config(env="arms")
+    cfg.override(pretextLRStep="none", pretextLR=1e-3,
+                 pretextLRDecayEpoch=[1, 2], pretextLRDecayGamma=0.1,
+                 pretextAdamL2=0.0)
+    tx = make_optimizer(cfg, steps_per_epoch=2)
+    params = {"w": jnp.ones(())}
+    state = tx.init(params)
+    g = {"w": jnp.ones(())}
+    # step far past every milestone: Adam's unit-scale update times a
+    # constant LR stays 1e-3; a decayed schedule would shrink it 100x
+    for _ in range(6):
+        updates, state = tx.update(g, state, params)
+    assert abs(float(updates["w"]) + 1e-3) < 2e-4
+
+    cfg.override(pretextLRStep="step")
+    tx2 = make_optimizer(cfg, steps_per_epoch=2)
+    state2 = tx2.init(params)
+    for _ in range(6):
+        updates2, state2 = tx2.update(g, state2, params)
+    assert abs(float(updates2["w"])) < 1e-4  # decayed to 1e-5 by epoch 2
+    del optax
+
+
 def test_mfcc_batch_accepts_int16():
     """Bank rows are int16; mfcc_batch must normalize them, not cast the
     frontend constants to the integer dtype (which silences the window)."""
@@ -140,3 +172,28 @@ def test_mfcc_batch_accepts_int16():
     out_i = np.asarray(mfcc_batch(jnp.asarray(wav_i), p, backend="fft"))
     assert np.isfinite(out_i).all()
     np.testing.assert_allclose(out_i, out_f, atol=2e-2, rtol=1e-2)
+
+
+def test_prefetch_epoch_order_and_pairing():
+    """The streaming-path double-buffered prefetch must yield every batch
+    exactly once, in iterator order, each paired with its own transfer
+    (train/pretext.py::_prefetch_epoch)."""
+    from var_tpu.config import main_config
+    from var_tpu.train.pretext import PretextTrainer
+
+    tr = PretextTrainer(main_config(env="arms"))
+
+    class DS:
+        def iter_epoch(self, batch_size, epoch, shuffle, drop_last):
+            assert batch_size == 4 and epoch == 2
+            for i in range(5):
+                yield ("batch", i)
+
+    tr._device_batch = lambda b: ("dev", b[1])
+    out = list(tr._prefetch_epoch(DS(), 4, 2))
+    assert out == [(("batch", i), ("dev", i)) for i in range(5)]
+    # empty epoch terminates cleanly
+    class Empty:
+        def iter_epoch(self, *a, **k):
+            return iter(())
+    assert list(tr._prefetch_epoch(Empty(), 4, 2)) == []

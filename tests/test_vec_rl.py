@@ -255,6 +255,149 @@ def test_eval_success_rate(tmp_path):
     save_checkpoint(ckpt, {"params": pv["params"]})
     rate = trainer.testRL(num_episodes=3, policy_path=ckpt)
     assert 0.0 <= rate <= 1.0
+    # batched lockstep eval (num_envs>1): same protocol, N episodes per
+    # cycle; the rate stays a valid frequency and the CSV rows match
+    rate2 = trainer.testRL(num_episodes=4, policy_path=ckpt, num_envs=2)
+    assert 0.0 <= rate2 <= 1.0
+    import pandas as pd
+
+    df = pd.read_csv(str(tmp_path / "test_policy_ckpt.csv"))
+    assert len(df) == 4
+    assert set(df.columns) == {"objIdx", "goal area count", "rewards",
+                               "results"}
+
+
+@pytest.mark.slow
+def test_pipelined_fused_rollout_training(tmp_path, monkeypatch):
+    """The RLPipelinedRollout=True branch of _train_fused
+    (train/rl.py one-step-stale protocol): (a) every dispatched step is
+    read back exactly once (loop reads + the drain), so no reward is
+    dropped or double-counted; (b) the stored rollout stays
+    self-consistent — values[t]/log_probs[t] are the policy's outputs at
+    the stored obs_t for the stored actions[t]; (c) training completes
+    and saves. Engine contract: rl/rollout_device.py:_collect_step."""
+    import var_tpu.rl.rollout_device as rd
+    from var_tpu.models.distributions import log_probs
+    from var_tpu.train.rl import RLTrainer
+
+    class RecEngine(rd.DeviceRolloutEngine):
+        created = []
+
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            RecEngine.created.append(self)
+            self.dispatches = 0
+            self.reads = []
+            self.dones = []
+            self.first_params = None
+
+        def set_policy_params(self, params):
+            if self.first_params is None:
+                # host snapshot: the device buffers get donated into the
+                # PPO update, so keeping the jax arrays would leave
+                # deleted buffers
+                self.first_params = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x), params)
+            super().set_policy_params(params)
+
+        def step_async(self, *a, **k):
+            self.dispatches += 1
+            self.dones.append(np.asarray(a[3]).copy())
+            return super().step_async(*a, **k)
+
+        def read_packed(self, handle):
+            action, raw = super().read_packed(handle)
+            self.reads.append(np.asarray(raw).copy())
+            return action, raw
+
+    monkeypatch.setattr(rd, "DeviceRolloutEngine", RecEngine)
+
+    cfg = _small_arm_cfg(tmp_path)
+    T, N = 8, 2
+    cfg.override(RLEnvMaxSteps=4, ppoNumSteps=T, RLNumEnvs=N,
+                 RLTotalSteps=T * N,  # exactly one PPO update
+                 fusedRollout=True, RLPipelinedRollout=True,
+                 ppoEpoch=1, ppoNumMiniBatch=1)
+    trainer = RLTrainer(cfg, env="arms")
+    trainer.pretext_params = init_pretext_params(
+        trainer.pretext_model, cfg, jax.random.PRNGKey(0))["params"]
+    state = trainer.trainRL()
+
+    # (c) completed + saved
+    assert state is not None
+    assert os.path.isdir(os.path.join(cfg.RLModelSaveDir, "00000"))
+    assert all(bool(jnp.isfinite(l).all())
+               for l in jax.tree_util.tree_leaves(state.params))
+
+    (engine,) = RecEngine.created
+    # (a) exactly-once readback: T dispatched steps, T reads (T-1 in the
+    # loop + 1 drain; step 0 has no pending read)
+    assert engine.dispatches == T
+    assert len(engine.reads) == T
+
+    # (b) episode-reward bookkeeping: reconstruct the episode totals the
+    # exact-mode accounting would produce from the recorded per-step raw
+    # rewards + done flags (read i pairs with dispatch i's dones) and
+    # require the logged episode stats to match.
+    env_rewards = np.zeros(N)
+    episodes = []
+    for raw, done in zip(engine.reads, engine.dones):
+        env_rewards = env_rewards + raw
+        for idx in np.where(done)[0]:
+            episodes.append(env_rewards[idx])
+            env_rewards[idx] = 0.0
+    assert len(episodes) == 4  # 2 episodes per env: maxSteps=4, T=8
+    np.testing.assert_allclose(env_rewards, 0.0, atol=1e-6)  # all drained
+    import pandas as pd
+
+    prog = pd.read_csv(os.path.join(cfg.RLModelSaveDir, "progress.csv"))
+    np.testing.assert_allclose(
+        prog["eprewmean"].iloc[-1], np.mean(episodes), rtol=1e-5)
+    np.testing.assert_allclose(
+        prog["max"].iloc[-1], np.max(episodes), rtol=1e-5)
+
+    # (c2) stored-rollout self-consistency: re-run the policy at the
+    # stored obs/hidden/mask and require the stored value and the stored
+    # action's log-prob to match what was recorded during collection.
+    # Uses the PRE-update params (the rollout was collected with them;
+    # after_update only rewrites index 0, so check t >= 1).
+    b = engine.buffers
+    params0 = engine.first_params
+    for t in range(1, T):
+        obs = {
+            engine.extra_key: b.obs_extra[t],
+            "goal_sound_feat": b.obs_goal_feat[t],
+            "image": b.obs_image[t],
+            "image_feat": b.obs_image_feat[t],
+        }
+        value, dist, _ = engine.policy.apply(
+            {"params": params0}, obs, b.rnn_hx[t], b.masks[t][:, None], 1)
+        np.testing.assert_allclose(
+            np.asarray(value[:, 0]), np.asarray(b.values[t]),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(log_probs(dist, b.actions[t])[:, 0]),
+            np.asarray(b.action_log_probs[t]), rtol=1e-5, atol=1e-5)
+
+
+def test_eval_size_per_class_derivation():
+    """When the base env's counters are unreachable (shmem/adapters),
+    testRL derives per-class eval quotas from config exactly as the envs
+    themselves compute them — never a silent fixed default."""
+    from var_tpu.config import main_config
+    from var_tpu.train.rl import _eval_size_per_class
+
+    arm = main_config(env="arms")
+    # arm: summed sound-source test-set sizes (fourInARow.py:92-96)
+    assert _eval_size_per_class(arm).tolist() == [1000] * 4
+    thor = main_config(env="ai2thor")
+    thor.override(testEpisodesPerClass=7)
+    assert _eval_size_per_class(thor).tolist() == [7] * thor.taskNum
+    # nothing derivable -> explicit error, not a plausible CSV
+    class Bare:
+        taskNum = 4
+    with pytest.raises(ValueError):
+        _eval_size_per_class(Bare())
 
 
 def test_shm_posix_transport_roundtrip():

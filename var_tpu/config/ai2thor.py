@@ -114,6 +114,9 @@ class AI2ThorConfig(ConfigBase):
         # test RL policy
         self.success_threshold = 1
         self.RLDeterministic = True
+        # eval episodes per task class (round-robin; the reference iterates
+        # the whole FSC test split, VAR/RL_VAR.py:35 size_per_class)
+        self.testEpisodesPerClass = 10
         self.skillInfos = [
             {"path": os.path.join("data", "RL_model", "default", "00000"),
              "actionDim": 8, "actionOffset": 0}

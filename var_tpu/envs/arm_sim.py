@@ -243,10 +243,17 @@ class FourInARowSim(Env):
 
     def _setup_first_step(self):
         self._get_intent_idx()
-        self.goal_sound, _ = self.audio.genSoundFeat(
+        self.goal_sound, clip = self.audio.genSoundFeat(
             intentIdx=self.intentIdx, featType="MFCC",
             rand_fn=self.np_random.randint)
         self.ground_truth = np.int32(self.intentIdx)
+        if self.config.render:
+            # play the spoken command while rendering (reference plays
+            # the goal audio via sounddevice, RL_env_VAR.py:507,513;
+            # silent no-op headless)
+            from var_tpu.utils.audio_play import play_clip
+
+            play_clip(clip)
 
     def gen_obs(self):
         from var_tpu.envs.recording import save_episode_image

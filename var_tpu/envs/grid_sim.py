@@ -454,8 +454,14 @@ class GridHouseSim(Env):
         else:
             sound_positive = np.zeros(c.sound_dim, np.float32)
         if self.envStepCounter == 0:
-            self.goal_sound, _, self.transcription = self.audio.getAudioFromTask(
-                self.np_random, self.task, Task)
+            self.goal_sound, clip, self.transcription = \
+                self.audio.getAudioFromTask(self.np_random, self.task, Task)
+            if c.render:
+                # play the spoken command while rendering (reference:
+                # RL_env_VAR.py:507,513 sd.play; silent no-op headless)
+                from var_tpu.utils.audio_play import play_clip
+
+                play_clip(clip)
         else:
             # inf sentinel -> frozen VAR reuses the cached goal embedding
             # (RL_env_VAR.py:498-510)

@@ -34,7 +34,16 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
         raise FileNotFoundError(f"checkpoint {path!r} not found")
     ckptr = ocp.PyTreeCheckpointer()
     if target is None:
-        return ckptr.restore(path)
+        # Restore every leaf as a plain numpy array instead of replaying
+        # the SAVED shardings: a checkpoint written on one backend (e.g.
+        # the TPU) must restore on any other (CPU eval/tooling) — the
+        # saved device metadata can't resolve there and orbax errors with
+        # "sharding ... Got None". Callers device_put as needed.
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
     restored = ckptr.restore(path, args=ocp.args.PyTreeRestore(item=target))
     return restored
 

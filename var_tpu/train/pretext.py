@@ -61,10 +61,16 @@ def multistep_lr(base_lr: float, milestones_epochs, gamma: float,
 
 
 def make_optimizer(config, steps_per_epoch: int, lr=None, start_step: int = 0):
-    schedule = multistep_lr(
-        config.pretextLR if lr is None else lr, config.pretextLRDecayEpoch,
-        config.pretextLRDecayGamma, steps_per_epoch, start_step,
-    )
+    base_lr = config.pretextLR if lr is None else lr
+    if getattr(config, "pretextLRStep", "step") == "step":
+        schedule = multistep_lr(
+            base_lr, config.pretextLRDecayEpoch,
+            config.pretextLRDecayGamma, steps_per_epoch, start_step,
+        )
+    else:
+        # any other value -> no scheduler, constant LR (reference:
+        # utils.py:42-47 get_scheduler returns None unless 'step')
+        schedule = base_lr
     # torch Adam(weight_decay): L2 term added to the gradient
     return optax.chain(
         optax.add_decayed_weights(config.pretextAdamL2),
@@ -452,9 +458,12 @@ class PretextTrainer:
                     ds, bank, batch_size, start_ep + ep)
                 n_triplets += n
             else:
-                for batch in ds.iter_epoch(batch_size, epoch=start_ep + ep,
-                                           shuffle=True, drop_last=False):
-                    dev = self._device_batch(batch)
+                # streaming fallback (larger-than-HBM datasets):
+                # double-buffered prefetch — batch t+1 is assembled and its
+                # host->device transfer dispatched on a worker thread while
+                # step t executes (SURVEY.md §5.8 host->device pipeline)
+                for batch, dev in self._prefetch_epoch(
+                        ds, batch_size, start_ep + ep):
                     if batch.pos_feat is not None:
                         self.state, loss = self._train_step_feat(self.state, *dev)
                     else:
@@ -485,6 +494,34 @@ class PretextTrainer:
         if plot:
             self.plotRepresentation(ds)
         return loss_list
+
+    def _prefetch_epoch(self, ds, batch_size: int, epoch: int):
+        """Double-buffered prefetch for the streaming path: yields
+        (host_batch, device_arrays) with the NEXT batch's host assembly +
+        device transfer overlapping the current train step. One worker
+        thread keeps exactly one batch in flight (jax dispatch is
+        thread-safe; the transfer RPC releases the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = ds.iter_epoch(batch_size, epoch=epoch, shuffle=True,
+                           drop_last=False)
+
+        def produce():
+            try:
+                b = next(it)
+            except StopIteration:
+                return None
+            return b, self._device_batch(b)
+
+        with ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="h2d-prefetch") as ex:
+            fut = ex.submit(produce)
+            while True:
+                item = fut.result()
+                if item is None:
+                    return
+                fut = ex.submit(produce)  # next batch in flight
+                yield item
 
     def _run_epoch_indexed(self, ds, bank, batch_size: int, epoch: int):
         """One epoch over the device-resident dataset, executed as a single

@@ -406,17 +406,26 @@ class RLTrainer:
     # -- evaluation (reference: VAR/RL_VAR.py:12-76 testRL) --------------------
 
     def testRL(self, num_episodes: Optional[int] = None,
-               policy_path: Optional[str] = None):
+               policy_path: Optional[str] = None, num_envs: int = 1):
+        """Deterministic per-class evaluation (reference: VAR/RL_VAR.py:12-76).
+
+        num_envs > 1 batches the evaluation over parallel envs: every env
+        runs the same per-class round-robin in lockstep (fixed episode
+        length -> synchronized resets, identical per-env episode counters),
+        so N envs complete N same-class episodes per cycle and total eval
+        wall-clock drops ~N-fold. The per-env quotas stay what the env
+        derives; totals and the CSV's objIdx column scale by N."""
         cfg = self.config
-        envs = self._make_envs(1, cfg.RLGamma)
+        N = int(num_envs)
+        envs = self._make_envs(N, cfg.RLGamma)
         base_env = envs.unwrapped.envs[0].env if hasattr(
             envs.unwrapped, "envs") else None
 
         self.policy = build_policy(cfg, envs.action_space)
         H = self.policy.recurrent_hidden_state_size
         obs = envs.reset()
-        hx = jnp.zeros((1, H), jnp.float32)
-        masks = jnp.zeros((1, 1), jnp.float32)
+        hx = jnp.zeros((N, H), jnp.float32)
+        masks = jnp.zeros((N, 1), jnp.float32)
         variables = self.policy.init(
             jax.random.PRNGKey(0), self._obs_to_device(obs), hx, masks, 1)
         path = policy_path or cfg.skillInfos[0]["path"]
@@ -429,13 +438,20 @@ class RLTrainer:
         variables = {"params": self.load_policy_params(path)}
         print("Load the weights from", path)
 
-        episode_num = (int(base_env.size_per_class_cumsum[-1])
-                       if base_env is not None else 20)
+        # per-class episode quotas: read them off the builtin base env when
+        # reachable, else derive them from config exactly as the envs do
+        # (arm: sound-source test-set sizes, fourInARow.py:92-96; grid:
+        # testEpisodesPerClass) — never a silent fixed default
+        # (reference: VAR/RL_VAR.py:35 size_per_class_cumsum).
+        size_per_class = (np.asarray(base_env.size_per_class)
+                          if base_env is not None
+                          else _eval_size_per_class(cfg))
+        episode_num = int(np.sum(size_per_class)) * N
         if num_episodes is not None:
             episode_num = num_episodes
 
         results, goal_counts, ep_rewards = [], [], []
-        eval_env_reward = 0.0
+        eval_env_reward = np.zeros(N)
         rng = jax.random.PRNGKey(1)
         episodes = 0
         while episodes < episode_num:
@@ -444,15 +460,17 @@ class RLTrainer:
                            hx, masks, sub, deterministic=cfg.RLDeterministic)
             hx = step_out.rnn_hx
             obs, _, done, infos = envs.step(np.asarray(step_out.action))
-            eval_env_reward += float(envs.origStepReward[0])
+            eval_env_reward = eval_env_reward + np.asarray(envs.origStepReward)
             masks = jnp.asarray((~done).astype(np.float32)[:, None])
-            if done[0]:
+            for i in np.where(done)[0]:
+                if episodes >= episode_num:
+                    break
                 episodes += 1
-                gc = infos[0].get("goal_area_count", 0)
+                gc = infos[i].get("goal_area_count", 0)
                 goal_counts.append(gc)
                 results.append(int(gc >= cfg.success_threshold))
-                ep_rewards.append(eval_env_reward)
-                eval_env_reward = 0.0
+                ep_rewards.append(eval_env_reward[i])
+                eval_env_reward[i] = 0.0
 
         success_rate = float(np.mean(results)) if results else 0.0
         if (policy_path or cfg.skillInfos) and not getattr(cfg, "render",
@@ -462,13 +480,12 @@ class RLTrainer:
             # size_per_class, matching the round-robin eval intents)
             import pandas as pd
 
-            if base_env is not None:
-                objs = np.repeat(np.arange(cfg.taskNum, dtype=np.int64),
-                                 np.asarray(base_env.size_per_class))
-                reps = -(-len(results) // max(1, len(objs)))
-                objs = np.tile(objs, reps)[: len(results)]
-            else:
-                objs = np.zeros(len(results), dtype=np.int64)
+            # lockstep batched eval: each class's quota completes N
+            # episodes per cycle, so the per-class run lengths scale by N
+            objs = np.repeat(np.arange(cfg.taskNum, dtype=np.int64),
+                             size_per_class * N)
+            reps = -(-len(results) // max(1, len(objs)))
+            objs = np.tile(objs, reps)[: len(results)]
             save_dir = os.path.dirname(path)
             os.makedirs(save_dir or ".", exist_ok=True)
             name = os.path.splitext(os.path.basename(path))[0]
@@ -572,6 +589,24 @@ class RLTrainer:
         if cfg.RLTrain:
             return self.trainRL()
         return self.testRL()
+
+
+def _eval_size_per_class(cfg):
+    """Per-class eval episode quotas derived from config, mirroring what
+    the env itself computes (arm: summed sound-source test-set sizes,
+    fourInARow.py:92-96; grid: testEpisodesPerClass) — used when the base
+    env's counters are unreachable (shmem workers / external adapters)."""
+    if hasattr(cfg, "testEpisodesPerClass"):
+        return np.full(cfg.taskNum, int(cfg.testEpisodesPerClass), np.int64)
+    sizes = getattr(cfg, "soundSource", {}).get("size", None)
+    if not sizes:
+        raise ValueError(
+            "cannot derive eval episode quotas: config has neither "
+            "testEpisodesPerClass nor soundSource['size']")
+    per = np.zeros(cfg.taskNum, np.int64)
+    for key in sizes:
+        per = per + np.asarray(sizes[key][: cfg.taskNum], np.int64)
+    return per
 
 
 def _processed_space(obs_batch):
