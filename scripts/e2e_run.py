@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""End-to-end task-capability run: collect -> VAR -> PPO -> eval.
+
+Runs the complete two-stage pipeline on a built-in simulator profile at a
+scale that actually learns the task, then evaluates the trained policy
+deterministically with per-class round-robin episodes and records the
+success rate — the reference's only task-level metric
+(reference: VAR/RL_VAR.py:57-76 success-rate eval;
+Envs/pybullet/arms/tasks/fourInARow/fourInARow.py:317-335 goal_area_count).
+
+    python scripts/e2e_run.py arms    work/e2e_arm     --rl-steps 200000
+    python scripts/e2e_run.py ai2thor work/e2e_ai2thor --rl-steps 200000
+
+Each invocation writes/updates ONE profile entry in the JSON given by
+--out (default E2E_r03.json at the repo root). Stages are selectable for
+resume/iteration: --stages collect,var,rl,eval.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_config(env, work, rl_steps, eval_per_class, rl_lr=None,
+                 num_envs=None, ent_coef=None, collect_per_class=None,
+                 var_epochs=None):
+    from var_tpu.config import gym_register, main_config
+
+    cfg = main_config(env=env)
+    overrides = dict(
+        pretextDataDir=[os.path.join(work, "triplets")],
+        pretextModelSaveDir=os.path.join(work, "var_model"),
+        pretextModelFineTune=False,
+        pretextDataset="VARDataset",
+        RLModelSaveDir=os.path.join(work, "rl_model"),
+        RLModelFineTune=False,
+        RLTrain=True,
+        RLTotalSteps=rl_steps,
+        RLLogInterval=1,
+        episodeImgSaveInterval=-1,
+    )
+    if collect_per_class:
+        # reference-scale quotas (50-100/class) underfit the VAR on the
+        # builtin renders (reward-landscape probe: near-chance); measured
+        # recipe: 400/class + 2x empty + 60 epochs -> triplet loss ~0.008,
+        # on-object class accuracy ~0.93 (scripts/var_probe.py)
+        overrides["pretextCollectNum"] = (
+            [collect_per_class] * cfg.taskNum + [2 * collect_per_class])
+        overrides["pretextDataEpisode"] = 2000
+    if var_epochs:
+        overrides["pretextEpoch"] = var_epochs
+        overrides["pretextLRDecayEpoch"] = [var_epochs // 2,
+                                            var_epochs * 5 // 6]
+    if hasattr(cfg, "testEpisodesPerClass"):
+        overrides["testEpisodesPerClass"] = eval_per_class
+    if rl_lr is not None:
+        overrides["RLLr"] = rl_lr
+    if num_envs is not None:
+        overrides["RLNumEnvs"] = num_envs
+    if ent_coef is not None:
+        overrides["ppoEntropyCoef"] = ent_coef
+    cfg.override(**overrides)
+    cfg.override(pretextModelLoadDir=os.path.join(
+        work, "var_model", str(cfg.pretextEpoch - 1)))
+    gym_register(cfg, env=env)
+    return cfg
+
+
+def scale_eval_quotas(cfg, eval_per_class):
+    """Scale the per-class eval episode quotas to the eval budget.
+
+    The arm env derives per-class episode counts from the sound-source
+    test-set sizes (reference fourInARow.py:92-96: 1000/class -> 4000
+    eval episodes); rescaling them makes the round-robin cycle through
+    every class within eval_per_class episodes each. Done only at eval
+    time so training keeps the full clip inventory. The grid sim reads
+    testEpisodesPerClass directly.
+    """
+    sizes = cfg.soundSource.get("size", {})
+    n = max((len(v) for v in sizes.values()), default=0)
+    total = [0] * n
+    for v in sizes.values():
+        for i, x in enumerate(v):
+            total[i] += x
+    for ds in sizes:
+        sizes[ds] = [eval_per_class * v // t if t else 0
+                     for v, t in zip(sizes[ds], total)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("env", choices=["arms", "ai2thor"])
+    ap.add_argument("work")
+    ap.add_argument("--rl-steps", type=int, default=200_000)
+    ap.add_argument("--eval-per-class", type=int, default=16)
+    ap.add_argument("--eval-envs", type=int, default=8)
+    ap.add_argument("--rl-lr", type=float, default=None)
+    ap.add_argument("--num-envs", type=int, default=None)
+    ap.add_argument("--ent-coef", type=float, default=None)
+    ap.add_argument("--collect-per-class", type=int, default=400)
+    ap.add_argument("--var-epochs", type=int, default=60)
+    ap.add_argument("--stages", default="collect,var,rl,eval")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "E2E_r03.json"))
+    args = ap.parse_args()
+    stages = set(args.stages.split(","))
+
+    from var_tpu.train.pretext import PretextTrainer
+    from var_tpu.train.rl import RLTrainer
+
+    cfg = build_config(args.env, args.work, args.rl_steps,
+                       args.eval_per_class, args.rl_lr, args.num_envs,
+                       args.ent_coef, args.collect_per_class,
+                       args.var_epochs)
+    timings = {}
+    result = {
+        "rl_steps": args.rl_steps,
+        "collect_quota": list(cfg.pretextCollectNum),
+        "num_envs": cfg.RLNumEnvs,
+        "rl_lr": cfg.RLLr,
+    }
+
+    if "collect" in stages or "var" in stages:
+        pretext = PretextTrainer(cfg)
+        if "collect" in stages:
+            t0 = time.time()
+            pretext.collectPretextData()
+            timings["collect_s"] = round(time.time() - t0, 1)
+        if "var" in stages:
+            t0 = time.time()
+            pretext.trainRepresentation()
+            timings["var_train_s"] = round(time.time() - t0, 1)
+
+    updates = args.rl_steps // (cfg.ppoNumSteps * cfg.RLNumEnvs)
+    final_ckpt = os.path.join(args.work, "rl_model", "%.5i" % (updates - 1))
+    if "rl" in stages:
+        t0 = time.time()
+        rl = RLTrainer(cfg, env=args.env)
+        rl.load_pretext()
+        rl.trainRL()
+        timings["rl_train_s"] = round(time.time() - t0, 1)
+
+    if "eval" in stages:
+        t0 = time.time()
+        cfg.override(RLTrain=False)
+        # batched lockstep eval: N envs complete N same-class episodes per
+        # round-robin cycle, so per-env quotas are eval_per_class / N
+        per_env = max(1, args.eval_per_class // args.eval_envs)
+        scale_eval_quotas(cfg, per_env)
+        if hasattr(cfg, "testEpisodesPerClass"):
+            cfg.override(testEpisodesPerClass=per_env)
+        rl_eval = RLTrainer(cfg, env=args.env)
+        rl_eval.load_pretext()
+        rate = rl_eval.testRL(policy_path=final_ckpt,
+                              num_envs=args.eval_envs)
+        timings["eval_s"] = round(time.time() - t0, 1)
+        n_classes = cfg.taskNum
+        result.update(
+            success_rate=rate,
+            eval_episodes=per_env * args.eval_envs * n_classes,
+            episodes_per_class=per_env * args.eval_envs,
+            task_classes=n_classes,
+            checkpoint=final_ckpt,
+            eval_csv=os.path.join(
+                args.work, "rl_model",
+                f"test_{os.path.basename(final_ckpt)}.csv"),
+        )
+
+    result["timings_s"] = timings
+    import jax
+
+    result["hardware"] = str(jax.devices()[0])
+    doc = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            doc = json.load(f)
+    doc.setdefault("profiles", {})
+    doc["profiles"].setdefault(args.env, {}).update(result)
+    doc["date"] = time.strftime("%Y-%m-%d")
+    doc["pipeline"] = "collect -> VAR train -> PPO (frozen-VAR reward) -> deterministic per-class eval"
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=2)
+    print("E2E result:", json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
