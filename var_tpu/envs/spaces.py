@@ -67,6 +67,13 @@ class Box(Space):
     def __repr__(self):
         return f"Box(shape={self.shape}, dtype={np.dtype(self.dtype).name})"
 
+    def __hash__(self):
+        # spaces are immutable descriptors in practice; hashability lets
+        # them ride inside flax Modules used as jit static arguments
+        # (models/policy.py act/get_value)
+        return hash((self.shape, np.dtype(self.dtype).str,
+                     self.low.tobytes(), self.high.tobytes()))
+
 
 @dataclass
 class Discrete(Space):
@@ -88,6 +95,9 @@ class Discrete(Space):
 
     def __repr__(self):
         return f"Discrete({self.n})"
+
+    def __hash__(self):
+        return hash(("Discrete", self.n))
 
 
 @dataclass
@@ -111,6 +121,9 @@ class MultiBinary(Space):
 
     def __repr__(self):
         return f"MultiBinary({self.n})"
+
+    def __hash__(self):
+        return hash(("MultiBinary", self.n))
 
 
 class DictSpace(Space):
@@ -147,6 +160,15 @@ class DictSpace(Space):
     def __repr__(self):
         inner = ", ".join(f"{k}: {v!r}" for k, v in self.spaces.items())
         return f"DictSpace({inner})"
+
+    def __hash__(self):
+        return hash(tuple((k, hash(v)) for k, v in self.spaces.items()))
+
+    def __eq__(self, other):
+        return (isinstance(other, DictSpace)
+                and list(self.spaces.keys()) == list(other.spaces.keys())
+                and all(hash(a) == hash(b) for a, b in
+                        zip(self.spaces.values(), other.spaces.values())))
 
 
 def zeros_like_space(space: Space, batch: Optional[int] = None):

@@ -19,6 +19,7 @@ its conv stacks at torch defaults).
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import flax.linen as nn
@@ -277,13 +278,19 @@ class PolicyStep(NamedTuple):
     rnn_hx: jnp.ndarray  # (N, H)
 
 
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("deterministic",))
 def act(model: Policy, variables, obs, rnn_hx, masks, key, deterministic=False) -> PolicyStep:
-    """One rollout step (reference: model.py:57-68)."""
+    """One rollout step (reference: model.py:57-68). Jitted with the model
+    as a static argument (one compile per model architecture / batch
+    shape); eager per-op dispatch is far too slow for the per-step eval
+    and wrapped-rollout loops, especially over a remote-device link."""
     value, dist, new_hx = model.apply(variables, obs, rnn_hx, masks, 1)
     action = mode(dist) if deterministic else sample(dist, key)
     return PolicyStep(value, action, log_probs(dist, action), new_hx)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def get_value(model: Policy, variables, obs, rnn_hx, masks) -> jnp.ndarray:
     value, _, _ = model.apply(variables, obs, rnn_hx, masks, 1)
     return value
