@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_config(env, work, rl_steps, eval_per_class, rl_lr=None,
                  num_envs=None, ent_coef=None, collect_per_class=None,
-                 var_epochs=None):
+                 var_epochs=None, pipelined=False):
     from var_tpu.config import gym_register, main_config
 
     cfg = main_config(env=env)
@@ -64,6 +64,8 @@ def build_config(env, work, rl_steps, eval_per_class, rl_lr=None,
         overrides["RLNumEnvs"] = num_envs
     if ent_coef is not None:
         overrides["ppoEntropyCoef"] = ent_coef
+    if pipelined:
+        overrides["RLPipelinedRollout"] = True
     cfg.override(**overrides)
     cfg.override(pretextModelLoadDir=os.path.join(
         work, "var_model", str(cfg.pretextEpoch - 1)))
@@ -104,6 +106,9 @@ def main():
     ap.add_argument("--ent-coef", type=float, default=None)
     ap.add_argument("--collect-per-class", type=int, default=400)
     ap.add_argument("--var-epochs", type=int, default=60)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="one-step-stale pipelined fused rollout "
+                         "(RLPipelinedRollout=True)")
     ap.add_argument("--stages", default="collect,var,rl,eval")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -117,7 +122,7 @@ def main():
     cfg = build_config(args.env, args.work, args.rl_steps,
                        args.eval_per_class, args.rl_lr, args.num_envs,
                        args.ent_coef, args.collect_per_class,
-                       args.var_epochs)
+                       args.var_epochs, args.pipelined)
     timings = {}
     result = {
         "rl_steps": args.rl_steps,
