@@ -280,6 +280,9 @@ def bench_rl():
 
 
 def main():
+    from var_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg, audio, batches = _make_batches(4)
     tpu_tps, stream_tps = bench_tpu(cfg, audio, batches)
     print(f"# tpu: {tpu_tps:.1f} triplets/s (device-resident), "

@@ -25,6 +25,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from var_tpu.utils.jit_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 def build_config(env, work, rl_steps, eval_per_class, rl_lr=None,
                  num_envs=None, ent_coef=None, collect_per_class=None,

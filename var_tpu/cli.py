@@ -17,6 +17,12 @@ from var_tpu.config import main_config
 
 
 def parse_args(argv: Optional[Sequence[str]] = None, description: str = ""):
+    # every CLI entry benefits from the persistent executable cache
+    # (multi-minute fused-program compiles through a remote-compile
+    # tunnel drop to seconds on any run after the first)
+    from var_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=description)
     p.add_argument(
         "--env", choices=["arms", "ai2thor"], default=None,

@@ -64,7 +64,8 @@ class DeviceRolloutEngine:
     def __init__(self, var_model, var_params, policy, config, num_steps: int,
                  num_envs: int, extra_key: str, extra_shape, extra_dtype,
                  action_shape, action_dtype, gamma: float = 0.99,
-                 cliprew: float = 10.0, epsilon: float = 1e-8, mesh=None):
+                 cliprew: float = 10.0, epsilon: float = 1e-8, mesh=None,
+                 deterministic: bool = False):
         self.var_model = var_model
         self.var_params = var_params
         self.policy = policy
@@ -76,6 +77,10 @@ class DeviceRolloutEngine:
         self.cliprew = cliprew
         self.epsilon = epsilon
         self.is_arm = extra_key == "robot_pose"
+        # deterministic=True selects the distribution mode instead of a
+        # sample in every fused act (resolved at trace time) — the fused
+        # EVAL path (reference: RL.py act(deterministic=RLDeterministic))
+        self.deterministic = bool(deterministic)
         # sound-sound reward coefficient (reference:
         # vec_pretext_normalize.py:96-101 — RLRewardSoundSound *
         # dot(current_sound_feat, goal_sound_feat)); 0/False disables the
@@ -235,7 +240,7 @@ class DeviceRolloutEngine:
         # act at obs_{t+1}; hidden reset via mask inside the policy GRU
         value, action, logp, new_hx = self._embed_and_act(
             policy_params, image_u8, extra, goal_feat, image_feat,
-            buffers.prev_hx, mask_next[:, None], key, False)
+            buffers.prev_hx, mask_next[:, None], key, self.deterministic)
 
         b = buffers._replace(
             obs_image=buffers.obs_image.at[t + 1].set(image_u8),
@@ -269,7 +274,7 @@ class DeviceRolloutEngine:
         masks0 = jnp.ones((self.N, 1), jnp.float32)
         value, action, logp, new_hx = self._embed_and_act(
             policy_params, image_u8, extra, goal_feat, image_feat,
-            jnp.zeros_like(buffers.prev_hx), masks0, key, False)
+            jnp.zeros_like(buffers.prev_hx), masks0, key, self.deterministic)
         b = buffers._replace(
             obs_image=buffers.obs_image.at[0].set(image_u8),
             obs_extra=buffers.obs_extra.at[0].set(extra),

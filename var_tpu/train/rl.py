@@ -414,8 +414,17 @@ class RLTrainer:
         length -> synchronized resets, identical per-env episode counters),
         so N envs complete N same-class episodes per cycle and total eval
         wall-clock drops ~N-fold. The per-env quotas stay what the env
-        derives; totals and the CSV's objIdx column scale by N."""
+        derives; totals and the CSV's objIdx column scale by N.
+
+        With fusedRollout (the default), evaluation runs through the same
+        fused device program as training (VAR embeddings -> reward ->
+        deterministic policy act in ONE dispatch, one packed readback per
+        step) — over a high-latency device link the per-step wrapped path
+        costs ~15 RPCs/step and is 20-50x slower. Math is identical; the
+        wrapped path remains for fusedRollout=False."""
         cfg = self.config
+        if getattr(cfg, "fusedRollout", False):
+            return self._test_fused(num_episodes, policy_path, num_envs)
         N = int(num_envs)
         envs = self._make_envs(N, cfg.RLGamma)
         base_env = envs.unwrapped.envs[0].env if hasattr(
@@ -472,12 +481,21 @@ class RLTrainer:
                 ep_rewards.append(eval_env_reward[i])
                 eval_env_reward[i] = 0.0
 
+        success_rate = self._finish_eval(
+            path if (policy_path or cfg.skillInfos) else None,
+            results, goal_counts, ep_rewards, size_per_class, N)
+        envs.close()
+        return success_rate
+
+    def _finish_eval(self, path, results, goal_counts, ep_rewards,
+                     size_per_class, N):
+        """Shared eval tail: success rate + the reference CSV schema incl.
+        the per-episode commanded class column (VAR/RL_VAR.py:64-75:
+        objIdx = repeat over size_per_class, matching the round-robin
+        eval intents)."""
+        cfg = self.config
         success_rate = float(np.mean(results)) if results else 0.0
-        if (policy_path or cfg.skillInfos) and not getattr(cfg, "render",
-                                                           False):
-            # reference CSV schema incl. the per-episode commanded class
-            # column (VAR/RL_VAR.py:64-75: objIdx = repeat over
-            # size_per_class, matching the round-robin eval intents)
+        if path is not None and not getattr(cfg, "render", False):
             import pandas as pd
 
             # lockstep batched eval: each class's quota completes N
@@ -499,6 +517,86 @@ class RLTrainer:
             df.to_csv(out, mode="w", header=True, index=False)
             print("results saved to", out)
         print("success rate", success_rate)
+        return success_rate
+
+    def _test_fused(self, num_episodes: Optional[int] = None,
+                    policy_path: Optional[str] = None, num_envs: int = 1):
+        """Fused-program evaluation: raw envs + DeviceRolloutEngine in
+        deterministic mode. Per env step the host pays one image upload,
+        one small packed upload, one dispatch and ONE readback — the same
+        step program training uses (rl/rollout_device.py), with the
+        distribution mode instead of a sample
+        (reference: RL.py:57 act(deterministic=RLDeterministic))."""
+        from var_tpu.envs import spaces as S
+        from var_tpu.rl.rollout_device import DeviceRolloutEngine
+
+        cfg = self.config
+        N = int(num_envs)
+        envs = make_vec_envs(
+            env_name=cfg.RLEnvName, seed=cfg.RLEnvSeed, num_processes=N,
+            gamma=None, randomCollect=True, config=cfg)
+        base_env = envs.unwrapped.envs[0].env if hasattr(
+            envs.unwrapped, "envs") else None
+        self.policy = build_policy(cfg, envs.action_space)
+        path = policy_path or cfg.skillInfos[0]["path"]
+        if not os.path.exists(path):
+            # the reference asserts here too (RL.py:42) — see testRL
+            raise FileNotFoundError(
+                f"policy checkpoint {path!r} does not exist")
+        params = self.load_policy_params(path)
+        print("Load the weights from", path)
+
+        is_arm = cfg.name == "ArmConfig"
+        extra_key = "robot_pose" if is_arm else "occupancy"
+        raw_obs = envs.reset()
+        extra0 = np.asarray(raw_obs[extra_key])
+        if isinstance(envs.action_space, S.Discrete):
+            action_shape, action_dtype = (1,), jnp.int32
+        else:
+            action_shape, action_dtype = envs.action_space.shape, jnp.float32
+        engine = DeviceRolloutEngine(
+            self.pretext_model, self.pretext_params, self.policy, cfg,
+            1, N, extra_key, extra0.shape[1:],
+            jnp.float32 if is_arm else jnp.uint8,
+            action_shape, action_dtype, gamma=cfg.RLGamma,
+            deterministic=bool(cfg.RLDeterministic))
+        engine.set_policy_params(params)
+
+        size_per_class = (np.asarray(base_env.size_per_class)
+                          if base_env is not None
+                          else _eval_size_per_class(cfg))
+        episode_num = int(np.sum(size_per_class)) * N
+        if num_episodes is not None:
+            episode_num = num_episodes
+
+        rng = jax.random.PRNGKey(1)
+        rng, sub = jax.random.split(rng)
+        action = engine.init(raw_obs, sub)
+        results, goal_counts, ep_rewards = [], [], []
+        eval_env_reward = np.zeros(N)
+        episodes = 0
+        while episodes < episode_num:
+            raw_obs, env_rew, done, infos = envs.step(action)
+            rng, sub = jax.random.split(rng)
+            # exact (non-pipelined) stepping: the engine acts at the obs
+            # this step produced; the raw reward is the un-normalized VAR
+            # reward (== the wrapper's origStepReward)
+            action, raw_rew = engine.step(
+                0, raw_obs, np.asarray(env_rew, np.float32),
+                done.astype(np.float32), np.ones(N, np.float32), sub)
+            eval_env_reward = eval_env_reward + raw_rew
+            for i in np.where(done)[0]:
+                if episodes >= episode_num:
+                    break
+                episodes += 1
+                gc = infos[i].get("goal_area_count", 0)
+                goal_counts.append(gc)
+                results.append(int(gc >= cfg.success_threshold))
+                ep_rewards.append(eval_env_reward[i])
+                eval_env_reward[i] = 0.0
+
+        success_rate = self._finish_eval(
+            path, results, goal_counts, ep_rewards, size_per_class, N)
         envs.close()
         return success_rate
 
