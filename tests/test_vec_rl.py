@@ -380,6 +380,79 @@ def test_pipelined_fused_rollout_training(tmp_path, monkeypatch):
             np.asarray(b.action_log_probs[t]), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_fused_eval_actions_match_wrapped_eval(tmp_path):
+    """The fused deterministic eval (testRL -> _test_fused, one program
+    per step) must pick the same actions as the wrapped per-step path
+    (VecVARReward processing + act(deterministic=True)) — same VAR
+    embeddings, same policy mode, across the reset step and a following
+    transition (incl. the goal-cache carry)."""
+    from var_tpu.models.policy import act, build_policy
+    from var_tpu.rl.rollout_device import DeviceRolloutEngine
+    from var_tpu.utils.profiling import PhaseTimer
+
+    cfg = _small_arm_cfg(tmp_path)
+    gym_register(cfg, env="arms")
+    model = build_pretext_model(cfg)
+    params = init_pretext_params(model, cfg, jax.random.PRNGKey(0))["params"]
+
+    N = 2
+    raw_envs = make_vec_envs(cfg.RLEnvName, seed=7, num_processes=N,
+                             gamma=None, randomCollect=True, config=cfg)
+    raw_obs = raw_envs.reset()
+    policy = build_policy(cfg, raw_envs.action_space)
+    dummy = {
+        "robot_pose": jnp.zeros((N, 2)),
+        "goal_sound_feat": jnp.zeros((N, 3)),
+        "image": jnp.zeros((N, 3, 96, 96)),
+        "image_feat": jnp.zeros((N, 3)),
+    }
+    pvars = policy.init(jax.random.PRNGKey(3), dummy,
+                        jnp.zeros((N, cfg.RLRecurrentSize)),
+                        jnp.ones((N, 1)), 1)
+
+    # wrapped path: VAR processing (the reward wrapper's math) + act(mode)
+    wrapped = VecVARReward.__new__(VecVARReward)
+    wrapped.config = cfg
+    wrapped.model = model
+    wrapped.params = params
+    wrapped.ret_norm = None
+    wrapped.num_envs = N
+    wrapped.cached_goal_feat = np.zeros((N, 3), np.float32)
+    wrapped.processing_func = wrapped._process_arm
+    wrapped.timer = PhaseTimer()
+    w_obs, _ = wrapped._process_arm(dict(raw_obs), np.zeros(N))
+    hx = jnp.zeros((N, cfg.RLRecurrentSize))
+    dev_obs = {k: jnp.asarray(v) for k, v in w_obs.items()}
+    step_w = act(policy, pvars, dev_obs, hx, jnp.ones((N, 1)),
+                 jax.random.PRNGKey(9), deterministic=True)
+
+    # fused path: deterministic engine
+    engine = DeviceRolloutEngine(
+        model, params, policy, cfg, 1, N, "robot_pose", (2,), jnp.float32,
+        raw_envs.action_space.shape, jnp.float32, gamma=cfg.RLGamma,
+        deterministic=True)
+    engine.set_policy_params(pvars["params"])
+    action_f = engine.init(raw_obs, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(action_f, np.asarray(step_w.action),
+                               rtol=1e-5, atol=1e-6)
+
+    # one transition: same action into the env, same next action out
+    raw_obs2, env_rew, done, _ = raw_envs.step(action_f)
+    action_f2, raw_rew = engine.step(
+        0, raw_obs2, np.asarray(env_rew, np.float32),
+        done.astype(np.float32), np.ones(N, np.float32),
+        jax.random.PRNGKey(10))
+    w_obs2, w_rew2 = wrapped._process_arm(dict(raw_obs2), np.zeros(N))
+    step_w2 = act(policy, pvars, {k: jnp.asarray(v) for k, v in w_obs2.items()},
+                  step_w.rnn_hx, jnp.asarray((~done).astype(np.float32)[:, None]),
+                  jax.random.PRNGKey(10), deterministic=True)
+    np.testing.assert_allclose(action_f2, np.asarray(step_w2.action),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(raw_rew, w_rew2, rtol=1e-5, atol=1e-6)
+    raw_envs.close()
+
+
 def test_eval_size_per_class_derivation():
     """When the base env's counters are unreachable (shmem/adapters),
     testRL derives per-class eval quotas from config exactly as the envs
