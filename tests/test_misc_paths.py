@@ -157,3 +157,29 @@ def test_goal_audio_playback(monkeypatch):
     assert calls == [(160, 16000, False)]
     assert ap.play_clip(None) is False  # no clip -> no call
     assert len(calls) == 1
+
+
+def test_persistent_jit_cache_toggle(tmp_path, monkeypatch):
+    """enable_persistent_cache points jax at a disk cache dir (created on
+    demand), honors an explicit path and VAR_TPU_JIT_CACHE, and is a
+    no-op returning '' when disabled with VAR_TPU_JIT_CACHE=0."""
+    import jax
+
+    from var_tpu.utils.jit_cache import enable_persistent_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    target = str(tmp_path / "jit")
+    monkeypatch.delenv("VAR_TPU_JIT_CACHE", raising=False)
+    assert enable_persistent_cache(target) == target
+    assert os.path.isdir(target)
+    assert jax.config.jax_compilation_cache_dir == target
+
+    env_target = str(tmp_path / "jit_env")
+    monkeypatch.setenv("VAR_TPU_JIT_CACHE", env_target)
+    assert enable_persistent_cache() == env_target
+    assert jax.config.jax_compilation_cache_dir == env_target
+
+    monkeypatch.setenv("VAR_TPU_JIT_CACHE", "0")
+    assert enable_persistent_cache(target) == ""
+    # the tmp cache dirs vanish after the test: restore the prior setting
+    jax.config.update("jax_compilation_cache_dir", prev)
