@@ -380,6 +380,56 @@ def test_pipelined_fused_rollout_training(tmp_path, monkeypatch):
             np.asarray(b.action_log_probs[t]), rtol=1e-5, atol=1e-5)
 
 
+def test_rl_resume_restores_optax_structure(tmp_path):
+    """Full-state RL resume: the structure-free Orbax restore returns the
+    optimizer state as plain dicts; _resume_state must re-hang the leaves
+    on the optax NamedTuple treedef so tx.update works and the Adam
+    moments/step survive the round-trip (regression: resuming a fused
+    training run crashed with \"'dict' object has no attribute 'mu'\")."""
+    import optax
+
+    from var_tpu.models.policy import build_policy
+    from var_tpu.rl.ppo import PPO, PPOConfig
+    from var_tpu.train.rl import RLTrainer
+
+    cfg = _small_arm_cfg(tmp_path)
+    trainer = RLTrainer(cfg, env="arms")
+    policy = build_policy(cfg, make(cfg.RLEnvName).action_space)
+    dummy = {
+        "robot_pose": jnp.zeros((1, 2)),
+        "goal_sound_feat": jnp.zeros((1, 3)),
+        "image": jnp.zeros((1, 3, 96, 96)),
+        "image_feat": jnp.zeros((1, 3)),
+    }
+    pv = policy.init(jax.random.PRNGKey(0), dummy,
+                     jnp.zeros((1, cfg.RLRecurrentSize)), jnp.ones((1, 1)), 1)
+    trainer.policy = policy
+    trainer.ppo = PPO(policy, PPOConfig.from_config(cfg))
+    state = trainer.ppo.init_state(pv["params"])
+    # one optimizer step so the Adam moments are non-trivial
+    g = jax.tree_util.tree_map(lambda x: jnp.ones_like(x) * 0.01,
+                               state.params)
+    updates, opt_state = trainer.ppo.tx.update(g, state.opt_state,
+                                               state.params)
+    params2 = optax.apply_updates(state.params, updates)
+    trainer.state = type(state)(params2, opt_state, state.step + 1)
+    path = trainer.save_policy("00007")
+
+    resume = trainer.load_policy_state(path)
+    assert resume[1] is not None
+    trainer._resume_state({"params": resume[0]}, resume)
+    # structure restored: an update step runs (this crashed before)
+    u2, _ = trainer.ppo.tx.update(g, trainer.state.opt_state,
+                                  trainer.state.params)
+    assert all(bool(jnp.isfinite(l).all())
+               for l in jax.tree_util.tree_leaves(u2))
+    # and the moments survived the round-trip bit-exactly
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                    jax.tree_util.tree_leaves(trainer.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(trainer.state.step) == 1
+
+
 @pytest.mark.slow
 def test_fused_eval_actions_match_wrapped_eval(tmp_path):
     """The fused deterministic eval (testRL -> _test_fused, one program

@@ -75,6 +75,24 @@ class RLTrainer:
         self.state = self.ppo.init_state(variables["params"])
         params, opt_state, step = resume
         if opt_state is not None:
+            # The structure-free Orbax restore returns plain dict/list
+            # containers; optax's update needs its NamedTuple states
+            # (ScaleByAdamState.mu etc.) back. Re-hang the restored leaves
+            # on the freshly initialized optimizer state's treedef — leaf
+            # order is identical because both sides flatten dict keys in
+            # sorted order and the optax field order (count, mu, nu)
+            # matches its serialized key order.
+            template = self.state.opt_state
+            t_leaves, treedef = jax.tree_util.tree_flatten(template)
+            r_leaves = jax.tree_util.tree_leaves(opt_state)
+            if len(r_leaves) != len(t_leaves):
+                raise ValueError(
+                    f"restored optimizer state has {len(r_leaves)} leaves, "
+                    f"expected {len(t_leaves)} — checkpoint does not match "
+                    "this optimizer configuration")
+            opt_state = jax.tree_util.tree_unflatten(treedef, [
+                jnp.asarray(r).astype(t.dtype).reshape(t.shape)
+                for r, t in zip(r_leaves, t_leaves)])
             self.state = PPOState(
                 variables["params"], opt_state,
                 jnp.asarray(int(step) if step is not None else 0, jnp.int32))
