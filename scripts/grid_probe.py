@@ -62,6 +62,14 @@ def probe(cfg, model, params, n_layouts=3, seed=11, verbose=True,
             env.task = task
             env.taskID = cls
             env._setup_task()
+            # The VAR is trained with STATE-consistent labels (a view of
+            # the lamp ON pairs with the "turn on" utterance — reference
+            # pretext_env_VAR.py:34-43), so the reward peaks only in the
+            # task-DONE state. _setup_task forces the anti state (episode
+            # start); flip the commanded object to the post-act state so
+            # the sweep probes the landscape PPO must climb to.
+            env.objects[task.obj]["isToggled"] = (
+                task.act == "ToggleObjectOn")
             imgs, labels = [], []
             for cell in free:
                 for rot in rots:

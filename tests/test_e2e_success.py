@@ -41,7 +41,8 @@ def _run_profile(tmp_path, profile, steps, collect, var_epochs, num_envs):
         "--collect-per-class", str(collect),
         "--var-epochs", str(var_epochs),
         "--num-envs", str(num_envs),
-        "--pipelined",
+        # exact rollout protocol: pipelined mode's unobservable one-step
+        # action delay stalls learning (see ROADMAP.md round-3 finding)
         "--eval-per-class", "16",
         "--eval-envs", "8",
         "--out", str(out),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import time
+import warnings
 from collections import deque
 from typing import Optional
 
@@ -118,9 +119,108 @@ class RLTrainer:
 
     def trainRL(self, total_steps: Optional[int] = None,
                 log_interval: Optional[int] = None):
+        if getattr(self.config, "RLDeviceSimRollout", False):
+            return self._train_device_sim(total_steps, log_interval)
         if getattr(self.config, "fusedRollout", False):
             return self._train_fused(total_steps, log_interval)
         return self._train_wrapped(total_steps, log_interval)
+
+    def _train_device_sim(self, total_steps: Optional[int] = None,
+                          log_interval: Optional[int] = None):
+        """Zero-host-round-trip training: the simulator itself runs on the
+        device (envs/arm_sim_device.py, pixel-parity with the builtin
+        host sim), so reset -> T-step rollout -> GAE compiles into one
+        XLA program and the PPO update into a second; the host reads back
+        one small stats array per update (rl/device_sim.py). Arm profile
+        only. The saved checkpoints are standard Policy pytrees evaluated
+        on the host testRL path."""
+        from var_tpu.envs import spaces as S
+        from var_tpu.rl.device_sim import DeviceSimEngine, init_rms
+
+        cfg = self.config
+        if cfg.name != "ArmConfig":
+            raise NotImplementedError(
+                "RLDeviceSimRollout currently supports the arm profile "
+                "only (the grid sim's metadata-driven task logic is "
+                "host-side)")
+        if cfg.ppoNumSteps != cfg.RLEnvMaxSteps:
+            raise ValueError(
+                "RLDeviceSimRollout requires ppoNumSteps == RLEnvMaxSteps "
+                "(one rollout == one episode, the builtin-sim alignment); "
+                f"got {cfg.ppoNumSteps} != {cfg.RLEnvMaxSteps}")
+        total_steps = int(cfg.RLTotalSteps if total_steps is None
+                          else total_steps)
+        log_interval = (cfg.RLLogInterval if log_interval is None
+                        else log_interval)
+        os.makedirs(cfg.RLModelSaveDir, exist_ok=True)
+        cfg.save_json(os.path.join(cfg.RLModelSaveDir, "config.json"))
+
+        high = np.ones(cfg.RLActionDim, np.float32)
+        action_space = S.Box(-high, high, dtype=np.float32)
+        self.policy = build_policy(cfg, action_space)
+        T, N = cfg.ppoNumSteps, cfg.RLNumEnvs
+        H = self.policy.recurrent_hidden_state_size
+
+        engine = DeviceSimEngine(self.pretext_model, self.pretext_params,
+                                 self.policy, cfg, T, N)
+        dummy_obs = {
+            "robot_pose": jnp.zeros((N, cfg.robotStateDim)),
+            "goal_sound_feat": jnp.zeros((N, cfg.representationDim)),
+            "image": jnp.zeros((N,) + tuple(cfg.img_dim), jnp.uint8),
+            "image_feat": jnp.zeros((N, cfg.representationDim)),
+        }
+        variables = self.policy.init(
+            jax.random.PRNGKey(cfg.RLEnvSeed), dummy_obs,
+            jnp.zeros((N, H)), jnp.ones((N, 1)), 1)
+        resume = (None, None, None)
+        if cfg.RLModelFineTune and os.path.exists(cfg.RLModelLoadDir):
+            print("Load the weights from", cfg.RLModelLoadDir)
+            resume = self.load_policy_state(cfg.RLModelLoadDir)
+            variables = {"params": resume[0]}
+        self.ppo = PPO(self.policy, PPOConfig.from_config(cfg))
+        self._resume_state(variables, resume)
+
+        rms = init_rms(N)
+        episode_rewards = deque(maxlen=10)
+        logger = CSVLogger(os.path.join(cfg.RLModelSaveDir, "progress.csv"))
+        start = time.time()
+        num_updates = total_steps // T // N
+        for j in range(num_updates):
+            self.rng, k1, k2 = jax.random.split(self.rng, 3)
+            with self.timer.phase("collect"):
+                rms, batch, ep_raw = engine.collect(rms, self.state.params,
+                                                    k1)
+            with self.timer.phase("ppo_update"):
+                self.state, metrics = self.ppo.update(self.state, batch, k2)
+            episode_rewards.extend(np.asarray(ep_raw).tolist())
+
+            if (j % cfg.RLModelSaveInterval == 0 or j == num_updates - 1) \
+                    and cfg.RLModelSaveDir:
+                self.save_policy("%.5i" % j)
+            if j % log_interval == 0 and len(episode_rewards) > 1:
+                total_num_steps = (j + 1) * N * T
+                fps = int(total_num_steps / (time.time() - start))
+                m = {k: float(v) for k, v in metrics.items()}
+                print(
+                    f"Updates {j}, num timesteps {total_num_steps}, "
+                    f"FPS {fps}, eprewmean {np.mean(episode_rewards):.2f}, "
+                    f"entropy {m['dist_entropy']:.3f}")
+                logger.log({
+                    "misc/nupdates": j,
+                    "misc/total_timesteps": total_num_steps,
+                    "fps": fps,
+                    "eprewmean": float(np.mean(episode_rewards)),
+                    "min": float(np.min(episode_rewards)),
+                    "max": float(np.max(episode_rewards)),
+                    "loss/policy_entropy": m["dist_entropy"],
+                    "loss/policy_loss": m["action_loss"],
+                    "loss/value_loss": m["value_loss"],
+                    "perf/collect_ms": round(
+                        self.timer.p50_ms("collect"), 3),
+                    "perf/ppo_update_ms": round(
+                        self.timer.p50_ms("ppo_update"), 3),
+                })
+        return self.state
 
     def _train_fused(self, total_steps: Optional[int] = None,
                      log_interval: Optional[int] = None):
@@ -206,10 +306,20 @@ class RLTrainer:
         # so the simulator step + upload/dispatch overlap the device
         # compute and the tunnel readback of the in-flight step. The stored
         # rollout stays self-consistent — action_t is still the policy's
-        # draw at obs_t with its log-prob/value — only the environment
-        # dynamics gain a one-step action delay, which the recurrent policy
-        # absorbs. Exact reference timing (default) blocks on every step.
+        # draw at obs_t with its log-prob/value — but the environment
+        # gains a one-step action delay the policy cannot observe (the
+        # pending action is not part of its input), i.e. a POMDP.
+        # Measured on the arm task: learning stalls (eprewmean flat for
+        # 200k steps where the exact protocol shows clear slope by 50k),
+        # so pipelined mode is a throughput mode for latency-bound
+        # tunneled chips, NOT for final policy training — exact reference
+        # timing (default) blocks on every step and is what E2E runs use.
         pipelined = bool(getattr(cfg, "RLPipelinedRollout", False))
+        if pipelined:
+            warnings.warn(
+                "RLPipelinedRollout=True trains under a one-step action "
+                "delay the policy cannot observe; use the exact default "
+                "for final policy training (see ROADMAP.md).")
 
         for j in range(num_updates):
             pending = None  # (packed_out, done) not yet read back
