@@ -32,7 +32,7 @@ enable_persistent_cache()
 
 def build_config(env, work, rl_steps, eval_per_class, rl_lr=None,
                  num_envs=None, ent_coef=None, collect_per_class=None,
-                 var_epochs=None, pipelined=False):
+                 var_epochs=None, pipelined=False, device_sim=False):
     from var_tpu.config import gym_register, main_config
 
     cfg = main_config(env=env)
@@ -70,6 +70,8 @@ def build_config(env, work, rl_steps, eval_per_class, rl_lr=None,
         overrides["ppoEntropyCoef"] = ent_coef
     if pipelined:
         overrides["RLPipelinedRollout"] = True
+    if device_sim:
+        overrides["RLDeviceSimRollout"] = True
     cfg.override(**overrides)
     cfg.override(pretextModelLoadDir=os.path.join(
         work, "var_model", str(cfg.pretextEpoch - 1)))
@@ -112,7 +114,14 @@ def main():
     ap.add_argument("--var-epochs", type=int, default=60)
     ap.add_argument("--pipelined", action="store_true",
                     help="one-step-stale pipelined fused rollout "
-                         "(RLPipelinedRollout=True)")
+                         "(RLPipelinedRollout=True); throughput mode only — "
+                         "the unobservable action delay stalls learning "
+                         "(ROADMAP.md round-3 finding)")
+    ap.add_argument("--device-sim", action="store_true",
+                    help="train on the device-resident sim "
+                         "(RLDeviceSimRollout=True, arm only): the whole "
+                         "rollout is one XLA program, ~14x the exact host "
+                         "path; eval still runs on the host testRL stack")
     ap.add_argument("--stages", default="collect,var,rl,eval")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -126,7 +135,7 @@ def main():
     cfg = build_config(args.env, args.work, args.rl_steps,
                        args.eval_per_class, args.rl_lr, args.num_envs,
                        args.ent_coef, args.collect_per_class,
-                       args.var_epochs, args.pipelined)
+                       args.var_epochs, args.pipelined, args.device_sim)
     timings = {}
     result = {
         "rl_steps": args.rl_steps,

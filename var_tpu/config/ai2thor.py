@@ -154,6 +154,10 @@ class AI2ThorConfig(ConfigBase):
         # one-step-stale pipelined rollout: overlaps sim stepping with the
         # device step + readback (train/rl.py); off = exact reference timing
         self.RLPipelinedRollout = False
+        # run the simulator ON the TPU (envs/grid_sim_device.py): the whole
+        # rollout becomes one XLA program with zero per-step host syncs
+        # (rl/device_sim.py); eval still uses the host testRL path
+        self.RLDeviceSimRollout = False
 
         self.cfg_check()
 

@@ -208,11 +208,17 @@ class DeviceSimEngine:
         # boundary so GAE does not bootstrap across the reset.
         masks_full = jnp.concatenate(
             [jnp.ones((T, N)), jnp.zeros((1, N))], axis=0)
+        # the terminal done is always a time-limit truncation here
+        # (termination = step budget only, reference fourInARow.py:390-393),
+        # so bad_masks[T] = 0 and RLUseProperTimeLimits selects the GAE
+        # variant exactly as on the host path (ops/gae.py)
+        bad_masks_full = jnp.concatenate(
+            [jnp.ones((T, N)), jnp.zeros((1, N))], axis=0)
         value_preds = jnp.concatenate([values, value_T[None]], axis=0)
         returns, _ = compute_returns(
-            rewards, value_preds, masks_full, jnp.ones((T + 1, N)),
+            rewards, value_preds, masks_full, bad_masks_full,
             value_T, self.gamma, float(cfg.ppoGAELambda),
-            bool(cfg.ppoUseGAE), False)
+            bool(cfg.ppoUseGAE), bool(cfg.RLUseProperTimeLimits))
 
         batch = {
             "obs": {
@@ -232,6 +238,192 @@ class DeviceSimEngine:
         # the terminal reset wipes the normalizer's per-env return
         rms2 = RMSState(jnp.zeros((N,)), m_T, v_T, cnt_T)
         stats = jnp.sum(raw_rewards, axis=0)  # (N,) episode raw rewards
+        return rms2, batch, stats
+
+    def collect(self, rms: RMSState, policy_params, key):
+        return self._collect(rms, self.var_params, policy_params,
+                             self.goal_bank, key)
+
+
+class GridDeviceSimEngine:
+    """Device-resident rollout collector for the grid (iTHOR-profile)
+    navigation+toggle task (envs/grid_sim_device.py kernels). Same
+    one-program design as DeviceSimEngine; the policy obs adds the
+    egocentric occupancy crop and the action space is discrete."""
+
+    def __init__(self, pretext_model, pretext_params, policy, config,
+                 T: int, N: int, audio=None):
+        from var_tpu.envs import grid_sim_device as gsim
+        from var_tpu.envs.grid_sim import Task
+
+        if getattr(config, "RLRewardSoundSound", False):
+            raise NotImplementedError(
+                "RLRewardSoundSound is not supported by the device-resident "
+                "grid sim path")
+        self.gsim = gsim
+        self.pretext_model = pretext_model
+        self.var_params = pretext_params
+        self.policy = policy
+        self.config = config
+        self.T, self.N = T, N
+        self.D = config.representationDim
+        self.hidden = policy.recurrent_hidden_state_size
+        self.gamma = float(config.RLGamma)
+        self.cliprew = 10.0
+        self.epsilon = 1e-8
+        self.bank = gsim.build_plan_bank(config)
+
+        # task table in grid_sim taskList order (loc -> obj -> act)
+        task_list = []
+        for loc in config.allTasks:
+            for obj in config.allTasks[loc]:
+                for act in config.allTasks[loc][obj]:
+                    task_list.append(Task(loc, obj, act))
+        self.task_list = task_list
+        self.task_obj = jnp.asarray(
+            [gsim.OBJ_NAMES.index(t.obj) for t in task_list], jnp.int32)
+        self.task_on = jnp.asarray(
+            [t.act == "ToggleObjectOn" for t in task_list])
+        self.goal_bank = self._build_goal_bank(audio)  # (n_tasks, S, D)
+
+    def _build_goal_bank(self, audio=None, samples_per_task: int = 64):
+        """Pre-encode goal utterances per task by drawing through the same
+        getAudioFromTask sampler the host env uses (synonym resolution +
+        clip choice included), then running the CRNN sound branch once."""
+        from var_tpu.data.audio_store import AudioStore
+        from var_tpu.envs.grid_sim import Task
+
+        cfg = self.config
+        if audio is None:
+            audio = AudioStore(cfg)
+            audio.loadData()
+        rng = np.random.RandomState(cfg.RLEnvSeed + 101)
+        feats = []
+        for t in self.task_list:
+            feats.append(np.stack([
+                audio.getAudioFromTask(rng, t, Task)[0]
+                for _ in range(samples_per_task)]).astype(np.float32))
+        mfccs = jnp.asarray(np.stack(feats))  # (n_tasks, S, 1, Tm, 40)
+        flat = mfccs.reshape((-1,) + mfccs.shape[2:])
+
+        @jax.jit
+        def enc(p, x):
+            _, feat = self.pretext_model.apply(
+                {"params": p}, x, method=self.pretext_model.encode_sound)
+            return feat
+
+        out = []
+        bs = 64
+        for i in range(0, flat.shape[0], bs):
+            out.append(enc(self.var_params, flat[i:i + bs]))
+        feats = jnp.concatenate(out)
+        return feats.reshape(mfccs.shape[0], mfccs.shape[1], -1)
+
+    def _encode_image(self, var_params, img_u8):
+        image = img_u8.astype(jnp.float32) * (1.0 / 255.0)
+        _, feat = self.pretext_model.apply(
+            {"params": var_params}, image,
+            method=self.pretext_model.encode_image)
+        return feat
+
+    def _act(self, policy_params, obs, hx, masks, key, deterministic):
+        value, dist, new_hx = self.policy.apply(
+            {"params": policy_params}, obs, hx, masks, 1)
+        action = mode(dist) if deterministic else sample(dist, key)
+        return value[:, 0], action, log_probs(dist, action)[:, 0], new_hx
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _collect(self, rms: RMSState, var_params, policy_params, goal_bank,
+                 key):
+        cfg, N, T, D = self.config, self.N, self.T, self.D
+        gsim, bank = self.gsim, self.bank
+        kr, kc, ka, ks = jax.random.split(key, 4)
+
+        plan, pos, rot, tog = None, None, None, None
+        plan, pos, rot, tog, task_id = gsim.random_reset(
+            bank, kr, N, len(self.task_list), self.task_obj, self.task_on,
+            cfg)
+        clip = jax.random.randint(kc, (N,), 0, goal_bank.shape[1])
+        goal_feat = goal_bank[task_id, clip]  # (N, D)
+
+        def obs_of(img, occ, ifeat):
+            return {"occupancy": occ, "goal_sound_feat": goal_feat,
+                    "image": img, "image_feat": ifeat}
+
+        img = gsim.render_chw(bank, plan, pos, rot, tog, cfg)
+        occ = gsim.local_occupancy(bank, plan, pos, rot, cfg)
+        ifeat = self._encode_image(var_params, img)
+        hx = jnp.zeros((N, self.hidden))
+        masks1 = jnp.ones((N, 1))
+        value, action, logp, hx = self._act(
+            policy_params, obs_of(img, occ, ifeat), hx, masks1, ka, False)
+
+        def step(carry, kstep):
+            (pos, rot, tog, img, occ, ifeat, hx, value, action, logp,
+             ret, m, v, cnt) = carry
+            out_obs = (img, occ, ifeat)
+            out_alp = (action, logp, value)
+
+            pos2, rot2, tog2 = gsim.exe_action(
+                bank, plan, pos, rot, tog, action, cfg)
+            img2 = gsim.render_chw(bank, plan, pos2, rot2, tog2, cfg)
+            occ2 = gsim.local_occupancy(bank, plan, pos2, rot2, cfg)
+            ifeat2 = self._encode_image(var_params, img2)
+            raw_r = jnp.sum(ifeat2[:, :D] * goal_feat, axis=1)
+
+            ret2 = ret * self.gamma + raw_r
+            b_mean, b_var = jnp.mean(ret2), jnp.var(ret2)
+            delta = b_mean - m
+            tot = cnt + N
+            m2 = m + delta * N / tot
+            vv = (v * cnt + b_var * N + delta ** 2 * cnt * N / tot) / tot
+            norm_r = jnp.clip(raw_r / jnp.sqrt(vv + self.epsilon),
+                              -self.cliprew, self.cliprew)
+
+            value2, action2, logp2, hx2 = self._act(
+                policy_params, obs_of(img2, occ2, ifeat2), hx, masks1,
+                kstep, False)
+            carry2 = (pos2, rot2, tog2, img2, occ2, ifeat2, hx2,
+                      value2, action2, logp2, ret2, m2, vv, tot)
+            return carry2, (out_obs, out_alp, norm_r, raw_r)
+
+        carry0 = (pos, rot, tog, img, occ, ifeat, hx, value, action, logp,
+                  rms.ret, rms.mean, rms.var, rms.count)
+        carry, (obs_seq, alp_seq, rewards, raw_rewards) = jax.lax.scan(
+            step, carry0, jax.random.split(ks, T))
+        value_T = carry[7]
+        m_T, v_T, cnt_T = carry[11], carry[12], carry[13]
+
+        imgs, occs, ifeats = obs_seq
+        actions, logps, values = alp_seq
+
+        masks_full = jnp.concatenate(
+            [jnp.ones((T, N)), jnp.zeros((1, N))], axis=0)
+        bad_masks_full = jnp.concatenate(
+            [jnp.ones((T, N)), jnp.zeros((1, N))], axis=0)
+        value_preds = jnp.concatenate([values, value_T[None]], axis=0)
+        returns, _ = compute_returns(
+            rewards, value_preds, masks_full, bad_masks_full,
+            value_T, self.gamma, float(cfg.ppoGAELambda),
+            bool(cfg.ppoUseGAE), bool(cfg.RLUseProperTimeLimits))
+
+        batch = {
+            "obs": {
+                "image": imgs,
+                "occupancy": occs,
+                "image_feat": ifeats,
+                "goal_sound_feat": jnp.broadcast_to(
+                    goal_feat[None], (T, N, D)),
+            },
+            "rnn_hx0": jnp.zeros((N, self.hidden)),
+            "actions": actions[..., None] if actions.ndim == 2 else actions,
+            "value_preds": values,
+            "returns": returns,
+            "masks": masks_full[:-1],
+            "old_log_probs": logps,
+        }
+        rms2 = RMSState(jnp.zeros((N,)), m_T, v_T, cnt_T)
+        stats = jnp.sum(raw_rewards, axis=0)
         return rms2, batch, stats
 
     def collect(self, rms: RMSState, policy_params, key):

@@ -135,14 +135,11 @@ class RLTrainer:
         only. The saved checkpoints are standard Policy pytrees evaluated
         on the host testRL path."""
         from var_tpu.envs import spaces as S
-        from var_tpu.rl.device_sim import DeviceSimEngine, init_rms
+        from var_tpu.rl.device_sim import (DeviceSimEngine,
+                                           GridDeviceSimEngine, init_rms)
 
         cfg = self.config
-        if cfg.name != "ArmConfig":
-            raise NotImplementedError(
-                "RLDeviceSimRollout currently supports the arm profile "
-                "only (the grid sim's metadata-driven task logic is "
-                "host-side)")
+        is_arm = cfg.name == "ArmConfig"
         if cfg.ppoNumSteps != cfg.RLEnvMaxSteps:
             raise ValueError(
                 "RLDeviceSimRollout requires ppoNumSteps == RLEnvMaxSteps "
@@ -155,20 +152,28 @@ class RLTrainer:
         os.makedirs(cfg.RLModelSaveDir, exist_ok=True)
         cfg.save_json(os.path.join(cfg.RLModelSaveDir, "config.json"))
 
-        high = np.ones(cfg.RLActionDim, np.float32)
-        action_space = S.Box(-high, high, dtype=np.float32)
+        if is_arm:
+            high = np.ones(cfg.RLActionDim, np.float32)
+            action_space = S.Box(-high, high, dtype=np.float32)
+        else:
+            action_space = S.Discrete(len(cfg.allActions))
         self.policy = build_policy(cfg, action_space)
         T, N = cfg.ppoNumSteps, cfg.RLNumEnvs
         H = self.policy.recurrent_hidden_state_size
 
-        engine = DeviceSimEngine(self.pretext_model, self.pretext_params,
-                                 self.policy, cfg, T, N)
+        engine_cls = DeviceSimEngine if is_arm else GridDeviceSimEngine
+        engine = engine_cls(self.pretext_model, self.pretext_params,
+                            self.policy, cfg, T, N)
         dummy_obs = {
-            "robot_pose": jnp.zeros((N, cfg.robotStateDim)),
             "goal_sound_feat": jnp.zeros((N, cfg.representationDim)),
             "image": jnp.zeros((N,) + tuple(cfg.img_dim), jnp.uint8),
             "image_feat": jnp.zeros((N, cfg.representationDim)),
         }
+        if is_arm:
+            dummy_obs["robot_pose"] = jnp.zeros((N, cfg.robotStateDim))
+        else:
+            dummy_obs["occupancy"] = jnp.zeros(
+                (N, 1, cfg.RLVisibleGrid, cfg.RLVisibleGrid), jnp.uint8)
         variables = self.policy.init(
             jax.random.PRNGKey(cfg.RLEnvSeed), dummy_obs,
             jnp.zeros((N, H)), jnp.ones((N, 1)), 1)
