@@ -249,6 +249,14 @@ def bench_rl():
                 # third north-star metric: wrapper-path VAR
                 # reward-inference p50 on the real chip (BASELINE.json)
                 ours_box["var_p50"] = rl_bench.bench_var_reward_p50()
+                # round-3 flagship: simulator ON the TPU, whole rollout
+                # as one XLA program (rl/device_sim.py) — its own try so
+                # a failure never loses the host-path numbers
+                try:
+                    ours_box["dsim"] = rl_bench.bench_device_sim()
+                except Exception as e:  # pragma: no cover - defensive
+                    print(f"# device-sim bench failed: {e}",
+                          file=sys.stderr)
             except Exception as e:  # pragma: no cover - defensive
                 ours_box["e"] = e
 
@@ -273,6 +281,8 @@ def bench_rl():
             "pipelined_mode": round(ours_pipe, 1),
             "var_reward_p50_ms": round(var_p50, 3) if var_p50 else None,
             "fused_step_p50_ms": round(fused_p50, 3) if fused_p50 else None,
+            "device_sim_mode": (round(ours_box["dsim"], 1)
+                                if "dsim" in ours_box else None),
         }
     except Exception as e:  # pragma: no cover - defensive
         print(f"# rl bench failed: {e}", file=sys.stderr)

@@ -380,3 +380,58 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_device_sim(n_envs: int = 64, t_steps: int = 100,
+                     timed_updates: int = 3):
+    """Device-resident sim training throughput (rl/device_sim.py): the
+    whole rollout (reset -> scan of act/step/render/VAR-reward -> GAE) is
+    one XLA program, the PPO update a second — zero per-step host syncs.
+    Returns env-steps/s over `timed_updates` steady-state update cycles
+    (collect + PPO update)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+
+    from var_tpu.config import gym_register, main_config
+    from var_tpu.envs import spaces as S
+    from var_tpu.models.encoders import build_pretext_model, init_pretext_params
+    from var_tpu.models.policy import build_policy
+    from var_tpu.rl.device_sim import DeviceSimEngine, init_rms
+    from var_tpu.rl.ppo import PPO, PPOConfig
+
+    os.environ.setdefault("VAR_TPU_SYNTH_CLIPS", "16")  # small goal bank
+    cfg = main_config(env="arms")
+    cfg.override(RLTrain=True, RLModelFineTune=False, RLNumEnvs=n_envs,
+                 RLEnvMaxSteps=t_steps, ppoNumSteps=t_steps)
+    gym_register(cfg, env="arms")
+    model = build_pretext_model(cfg)
+    vparams = init_pretext_params(model, cfg, jax.random.PRNGKey(0))["params"]
+    high = np.ones(cfg.RLActionDim, np.float32)
+    policy = build_policy(cfg, S.Box(-high, high, dtype=np.float32))
+    eng = DeviceSimEngine(model, vparams, policy, cfg, t_steps, n_envs)
+    dummy = {"robot_pose": jnp.zeros((n_envs, 2)),
+             "goal_sound_feat": jnp.zeros((n_envs, cfg.representationDim)),
+             "image": jnp.zeros((n_envs,) + tuple(cfg.img_dim), jnp.uint8),
+             "image_feat": jnp.zeros((n_envs, cfg.representationDim))}
+    pvars = policy.init(jax.random.PRNGKey(1), dummy,
+                        jnp.zeros((n_envs, policy.recurrent_hidden_state_size)),
+                        jnp.ones((n_envs, 1)), 1)
+    ppo = PPO(policy, PPOConfig.from_config(cfg))
+    state = ppo.init_state(pvars["params"])
+    rms = init_rms(n_envs)
+    key = jax.random.PRNGKey(2)
+
+    def one(state, rms, key):
+        k1, k2, key = jax.random.split(key, 3)
+        rms, batch, ep = eng.collect(rms, state.params, k1)
+        state, metrics = ppo.update(state, batch, k2)
+        jax.block_until_ready(metrics)
+        return state, rms, key
+
+    state, rms, key = one(state, rms, key)  # compile
+    t0 = time.time()
+    for _ in range(timed_updates):
+        state, rms, key = one(state, rms, key)
+    dt = time.time() - t0
+    return timed_updates * n_envs * t_steps / dt

@@ -122,6 +122,11 @@ def main():
                          "(RLDeviceSimRollout=True, arm only): the whole "
                          "rollout is one XLA program, ~14x the exact host "
                          "path; eval still runs on the host testRL stack")
+    ap.add_argument("--eval-backend", default=None,
+                    choices=["dummy", "shmem", "auto"],
+                    help="vec-env backend for the eval stage (forkserver "
+                         "workers can be unreliable after heavy in-process "
+                         "device work; 'dummy' sidesteps them)")
     ap.add_argument("--stages", default="collect,var,rl,eval")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -167,6 +172,8 @@ def main():
     if "eval" in stages:
         t0 = time.time()
         cfg.override(RLTrain=False)
+        if args.eval_backend:
+            cfg.override(vecEnvBackend=args.eval_backend)
         # batched lockstep eval: N envs complete N same-class episodes per
         # round-robin cycle, so per-env quotas are eval_per_class / N
         per_env = max(1, args.eval_per_class // args.eval_envs)

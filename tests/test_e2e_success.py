@@ -32,7 +32,8 @@ pytestmark = [
 ]
 
 
-def _run_profile(tmp_path, profile, steps, collect, var_epochs, num_envs):
+def _run_profile(tmp_path, profile, steps, collect, var_epochs, num_envs,
+                 ent_coef=None):
     out = tmp_path / f"e2e_{profile}.json"
     cmd = [
         sys.executable, os.path.join(REPO, "scripts", "e2e_run.py"),
@@ -41,12 +42,18 @@ def _run_profile(tmp_path, profile, steps, collect, var_epochs, num_envs):
         "--collect-per-class", str(collect),
         "--var-epochs", str(var_epochs),
         "--num-envs", str(num_envs),
-        # exact rollout protocol: pipelined mode's unobservable one-step
-        # action delay stalls learning (see ROADMAP.md round-3 finding)
+        # device-resident sim training (exact rollout protocol at ~3.4k
+        # env-steps/s; pipelined host mode's unobservable action delay
+        # stalls learning — ROADMAP.md round-3 finding); eval runs on the
+        # host testRL stack
+        "--device-sim",
+        "--eval-backend", "dummy",
         "--eval-per-class", "16",
         "--eval-envs", "8",
         "--out", str(out),
     ]
+    if ent_coef is not None:
+        cmd += ["--ent-coef", str(ent_coef)]
     subprocess.run(cmd, check=True, cwd=REPO)
     with open(out) as f:
         return json.load(f)["profiles"][profile]
@@ -55,10 +62,13 @@ def _run_profile(tmp_path, profile, steps, collect, var_epochs, num_envs):
 def test_arm_task_success_above_chance(tmp_path):
     """Arm fourInARow: 4 commanded objects -> blind chance is ~0.25 even
     before counting the precision-parking requirement (final-step ray hit
-    inside a +/-3 cm box); a random policy measures ~0. The bar is 0.5."""
-    steps = int(os.environ.get("VAR_TPU_E2E_STEPS", 2_000_000))
+    inside a +/-3 cm box); a random policy measures ~0. The bar is 0.5.
+    The measured recipe (E2E_r03.json): 64 envs, entropy 0.02 (escapes
+    the park-on-half-the-goals local optimum), 12M steps -> 0.87."""
+    steps = int(os.environ.get("VAR_TPU_E2E_STEPS", 12_000_000))
     res = _run_profile(tmp_path, "arms", steps,
-                       collect=1600, var_epochs=100, num_envs=16)
+                       collect=1600, var_epochs=100, num_envs=64,
+                       ent_coef=0.02)
     assert res["success_rate"] >= 0.5, res
 
 
@@ -66,7 +76,8 @@ def test_grid_task_success_above_chance(tmp_path):
     """Grid (iTHOR-profile) navigation+toggle: the commanded act must be
     executed on the commanded object; chance is well below 0.25. Bar 0.5."""
     steps = int(os.environ.get("VAR_TPU_E2E_STEPS_GRID",
-                               os.environ.get("VAR_TPU_E2E_STEPS", 1_000_000)))
+                               os.environ.get("VAR_TPU_E2E_STEPS",
+                                              10_000_000)))
     res = _run_profile(tmp_path, "ai2thor", steps,
-                       collect=800, var_epochs=80, num_envs=16)
+                       collect=800, var_epochs=80, num_envs=64)
     assert res["success_rate"] >= 0.5, res

@@ -60,11 +60,30 @@ def init_rms(n: int) -> RMSState:
                     jnp.asarray(1e-4))
 
 
+def _env_sharding(mesh):
+    """NamedSharding over the env axis ('dp') for multi-chip collection,
+    or None on a single device. Constraining just the reset-state env
+    axis is enough — XLA propagates the layout through the whole scan and
+    inserts the cross-chip reductions for the RMS statistics."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P("dp"))
+
+
+def _constrain_env_axis(sharding, *arrays):
+    if sharding is None:
+        return arrays
+    return tuple(jax.lax.with_sharding_constraint(a, sharding)
+                 if a.ndim >= 1 else a for a in arrays)
+
+
 class DeviceSimEngine:
     """Rollout collector whose environment IS a device computation."""
 
     def __init__(self, pretext_model, pretext_params, policy, config,
-                 T: int, N: int, audio=None):
+                 T: int, N: int, audio=None, mesh=None):
         if getattr(config, "RLRewardSoundSound", False):
             raise NotImplementedError(
                 "RLRewardSoundSound (current-sound reward term) is not "
@@ -81,6 +100,7 @@ class DeviceSimEngine:
         self.gamma = float(config.RLGamma)
         self.cliprew = 10.0
         self.epsilon = 1e-8
+        self._env_sharding = _env_sharding(mesh)
         self.goal_bank = self._build_goal_bank(audio)  # (taskNum, C, D)
 
     def _build_goal_bank(self, audio=None):
@@ -150,6 +170,8 @@ class DeviceSimEngine:
         intent = jax.random.randint(ki, (N,), 0, cfg.taskNum)
         clip = jax.random.randint(kc, (N,), 0, bank.shape[1])
         goal_feat = bank[intent, clip]  # (N, D)
+        obj_pose, ee, goal_feat = _constrain_env_axis(
+            self._env_sharding, obj_pose, ee, goal_feat)
 
         img = sim.render_chw(obj_pose, ee, k)
         ifeat = self._encode_image(var_params, img)
@@ -252,7 +274,7 @@ class GridDeviceSimEngine:
     egocentric occupancy crop and the action space is discrete."""
 
     def __init__(self, pretext_model, pretext_params, policy, config,
-                 T: int, N: int, audio=None):
+                 T: int, N: int, audio=None, mesh=None):
         from var_tpu.envs import grid_sim_device as gsim
         from var_tpu.envs.grid_sim import Task
 
@@ -271,6 +293,7 @@ class GridDeviceSimEngine:
         self.gamma = float(config.RLGamma)
         self.cliprew = 10.0
         self.epsilon = 1e-8
+        self._env_sharding = _env_sharding(mesh)
         self.bank = gsim.build_plan_bank(config)
 
         # task table in grid_sim taskList order (loc -> obj -> act)
@@ -339,12 +362,13 @@ class GridDeviceSimEngine:
         gsim, bank = self.gsim, self.bank
         kr, kc, ka, ks = jax.random.split(key, 4)
 
-        plan, pos, rot, tog = None, None, None, None
         plan, pos, rot, tog, task_id = gsim.random_reset(
             bank, kr, N, len(self.task_list), self.task_obj, self.task_on,
             cfg)
         clip = jax.random.randint(kc, (N,), 0, goal_bank.shape[1])
         goal_feat = goal_bank[task_id, clip]  # (N, D)
+        plan, pos, rot, tog, goal_feat = _constrain_env_axis(
+            self._env_sharding, plan, pos, rot, tog, goal_feat)
 
         def obs_of(img, occ, ifeat):
             return {"occupancy": occ, "goal_sound_feat": goal_feat,

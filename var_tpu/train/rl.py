@@ -161,9 +161,14 @@ class RLTrainer:
         T, N = cfg.ppoNumSteps, cfg.RLNumEnvs
         H = self.policy.recurrent_hidden_state_size
 
+        mesh = None
+        if getattr(cfg, "meshShape", None):
+            from var_tpu.parallel.mesh import build_mesh
+
+            mesh = build_mesh(cfg.meshShape)
         engine_cls = DeviceSimEngine if is_arm else GridDeviceSimEngine
         engine = engine_cls(self.pretext_model, self.pretext_params,
-                            self.policy, cfg, T, N)
+                            self.policy, cfg, T, N, mesh=mesh)
         dummy_obs = {
             "goal_sound_feat": jnp.zeros((N, cfg.representationDim)),
             "image": jnp.zeros((N,) + tuple(cfg.img_dim), jnp.uint8),
