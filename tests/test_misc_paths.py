@@ -183,3 +183,21 @@ def test_persistent_jit_cache_toggle(tmp_path, monkeypatch):
     assert enable_persistent_cache(target) == ""
     # the tmp cache dirs vanish after the test: restore the prior setting
     jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_rss_watchdog_warns_once():
+    from var_tpu.utils.profiling import RSSWatchdog, host_rss_gb
+
+    assert host_rss_gb() > 0
+    w = RSSWatchdog(frac=0.8)
+    assert w.limit_gb > 0
+    w.limit_gb = 1e-6  # force the threshold below current RSS
+    import warnings as W
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        r1 = w.check()
+        r2 = w.check()
+    assert r1 > 0 and r2 > 0
+    msgs = [m for m in rec if "host RSS" in str(m.message)]
+    assert len(msgs) == 1  # warned once, not per check

@@ -27,7 +27,8 @@ from var_tpu.rl.storage import RolloutStorage
 from var_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from var_tpu.train.pretext import PretextTrainer
 from var_tpu.utils.logging import CSVLogger
-from var_tpu.utils.profiling import PhaseTimer, device_trace
+from var_tpu.utils.profiling import (PhaseTimer, RSSWatchdog,
+                                     device_trace)
 
 
 class RLTrainer:
@@ -42,6 +43,7 @@ class RLTrainer:
         self.state: Optional[PPOState] = None
         self.rng = jax.random.PRNGKey(config.RLEnvSeed)
         self.timer = PhaseTimer()
+        self._watchdog = RSSWatchdog()
 
     # -- frozen VAR ---------------------------------------------------------
 
@@ -131,9 +133,10 @@ class RLTrainer:
         device (envs/arm_sim_device.py, pixel-parity with the builtin
         host sim), so reset -> T-step rollout -> GAE compiles into one
         XLA program and the PPO update into a second; the host reads back
-        one small stats array per update (rl/device_sim.py). Arm profile
-        only. The saved checkpoints are standard Policy pytrees evaluated
-        on the host testRL path."""
+        one small stats array per update (rl/device_sim.py; grid
+        profile: GridDeviceSimEngine over envs/grid_sim_device.py). The
+        saved checkpoints are standard Policy pytrees evaluated on the
+        host testRL path."""
         from var_tpu.envs import spaces as S
         from var_tpu.rl.device_sim import (DeviceSimEngine,
                                            GridDeviceSimEngine, init_rms)
@@ -229,6 +232,7 @@ class RLTrainer:
                         self.timer.p50_ms("collect"), 3),
                     "perf/ppo_update_ms": round(
                         self.timer.p50_ms("ppo_update"), 3),
+                    "perf/host_rss_gb": round(self._watchdog.check(), 2),
                 })
         return self.state
 
@@ -408,6 +412,7 @@ class RLTrainer:
                         self.timer.p50_ms("env_step"), 3),
                     "perf/ppo_update_ms": round(
                         self.timer.p50_ms("ppo_update"), 3),
+                    "perf/host_rss_gb": round(self._watchdog.check(), 2),
                 })
 
         envs.close()
@@ -536,6 +541,7 @@ class RLTrainer:
                         self.timer.p50_ms("env_step"), 3),
                     "perf/ppo_update_ms": round(
                         self.timer.p50_ms("ppo_update"), 3),
+                    "perf/host_rss_gb": round(self._watchdog.check(), 2),
                 })
 
         envs.close()

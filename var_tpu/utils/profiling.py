@@ -76,3 +76,57 @@ class PhaseTimer:
         self.totals.clear()
         self.counts.clear()
         self.samples.clear()
+
+
+def host_rss_gb() -> float:
+    """Current process resident set size in GiB (0.0 if unreadable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024 / 1024
+    except OSError:  # pragma: no cover - non-procfs platforms
+        pass
+    return 0.0
+
+
+class RSSWatchdog:
+    """Warns (once) when host RSS approaches physical memory.
+
+    Motivation: the tunneled TPU backend in this environment leaks every
+    host<->device transfer buffer (~payload-sized, measured ~213 KB per
+    device_put in isolation; not GC-reachable — a native client leak).
+    Long host-path RL runs accumulate it linearly with step count: a
+    760k-step grid run reached 127 GB RSS and was OOM-killed. The
+    device-resident sim path (rl/device_sim.py) transfers almost nothing
+    per update and sidesteps the issue; for host-path runs this watchdog
+    surfaces the drift early so the run can be checkpoint-resumed instead
+    of dying silently (full-state resume: train/rl.py load_policy_state).
+    """
+
+    def __init__(self, frac: float = 0.8):
+        self.limit_gb = 0.0
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal"):
+                        self.limit_gb = (int(line.split()[1]) / 1024 / 1024
+                                         * frac)
+                        break
+        except OSError:  # pragma: no cover
+            pass
+        self._warned = False
+
+    def check(self) -> float:
+        rss = host_rss_gb()
+        if self.limit_gb and rss > self.limit_gb and not self._warned:
+            self._warned = True
+            import warnings
+
+            warnings.warn(
+                f"host RSS {rss:.1f} GiB exceeds {self.limit_gb:.0f} GiB "
+                "(80% of RAM) — on the tunneled TPU backend every transfer "
+                "leaks host memory (see ROADMAP.md); checkpoint-resume the "
+                "run, or switch to RLDeviceSimRollout which transfers "
+                "almost nothing per update")
+        return rss
