@@ -426,7 +426,11 @@ def bench_device_sim(n_envs: int = 64, t_steps: int = 100,
         k1, k2, key = jax.random.split(key, 3)
         rms, batch, ep = eng.collect(rms, state.params, k1)
         state, metrics = ppo.update(state, batch, k2)
-        jax.block_until_ready(metrics)
+        # force a REAL device->host readback: on the tunneled backend
+        # block_until_ready returns without waiting (the same breakage as
+        # copy_to_host_async, see ROADMAP.md), which would time dispatch
+        # only; np.asarray cannot lie
+        float(np.asarray(metrics["value_loss"]))
         return state, rms, key
 
     state, rms, key = one(state, rms, key)  # compile

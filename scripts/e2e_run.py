@@ -90,6 +90,10 @@ def scale_eval_quotas(cfg, eval_per_class):
     testEpisodesPerClass directly.
     """
     sizes = cfg.soundSource.get("size", {})
+    if not isinstance(sizes, dict):
+        # grid profile: size is a scalar clip count; eval quotas come from
+        # testEpisodesPerClass instead (grid_sim.py size_per_class)
+        return
     n = max((len(v) for v in sizes.values()), default=0)
     total = [0] * n
     for v in sizes.values():
