@@ -123,9 +123,10 @@ def main():
                          "(ROADMAP.md round-3 finding)")
     ap.add_argument("--device-sim", action="store_true",
                     help="train on the device-resident sim "
-                         "(RLDeviceSimRollout=True, arm only): the whole "
-                         "rollout is one XLA program, ~14x the exact host "
-                         "path; eval still runs on the host testRL stack")
+                         "(RLDeviceSimRollout=True, both profiles): the "
+                         "whole rollout is one XLA program, ~20x the exact "
+                         "host path; eval still runs on the host testRL "
+                         "stack")
     ap.add_argument("--eval-backend", default=None,
                     choices=["dummy", "shmem", "auto"],
                     help="vec-env backend for the eval stage (forkserver "

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Self-improvement capability demonstration: weak VAR -> low success ->
+one self_improve() round -> measurably higher success.
+
+The standard E2E runs (scripts/e2e_run.py, E2E_r03.json) exercise the
+self-improvement flow from an already-saturated VAR, so success cannot
+visibly rise. This script proves the flow's *purpose* (reference
+examples/README.md:31-45: deploy, gather new pairs, fine-tune the VAR
+with the frozen association, fine-tune the policy): it deliberately
+starts from a WEAK VAR — reference-scale collect quota (50/class),
+which underfits the builtin renders (reward-landscape probe
+scripts/var_probe.py: near-chance class separation) — trains a policy
+to that VAR's ceiling, evaluates it, then runs one round of the shipped
+`var_tpu.train.self_improve.self_improve()` driver and evaluates again.
+The artifact records both success rates; the delta is the demonstration.
+
+    python scripts/self_improve_demo.py arms /tmp/si_demo
+
+Writes/updates profiles.<env>.self_improve_demo in --out
+(default E2E_r03.json).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import e2e_run  # noqa: E402  (shares build_config / scale_eval_quotas)
+
+
+def run_eval(args, var_ckpt, rl_ckpt):
+    """Deterministic per-class round-robin eval of one checkpoint pair.
+
+    A FRESH config per eval: scale_eval_quotas mutates soundSource sizes
+    in place, which must not leak into later collect/fine-tune stages.
+    """
+    from var_tpu.train.rl import RLTrainer
+
+    cfg = e2e_run.build_config(
+        args.env, args.work, rl_steps=0, eval_per_class=args.eval_per_class,
+        num_envs=args.num_envs, device_sim=True)
+    cfg.override(RLTrain=False, vecEnvBackend="dummy")
+    per_env = max(1, args.eval_per_class // args.eval_envs)
+    e2e_run.scale_eval_quotas(cfg, per_env)
+    if hasattr(cfg, "testEpisodesPerClass"):
+        cfg.override(testEpisodesPerClass=per_env)
+    rl_eval = RLTrainer(cfg, env=args.env)
+    rl_eval.load_pretext(path=var_ckpt)
+    rate = rl_eval.testRL(policy_path=rl_ckpt, num_envs=args.eval_envs)
+    return rate, per_env * args.eval_envs * cfg.taskNum
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("env", choices=["arms", "ai2thor"])
+    ap.add_argument("work")
+    # weak baseline: reference-scale quota (config.py:86 pretextCollectNum
+    # 50/class) + reference epoch budget -> an underfit VAR on the builtin
+    # renders, the realistic "deployed with too little data" starting point
+    ap.add_argument("--weak-per-class", type=int, default=50)
+    ap.add_argument("--weak-var-epochs", type=int, default=40)
+    ap.add_argument("--weak-rl-steps", type=int, default=8_000_000)
+    # improvement round: the E2E-recipe data scale
+    ap.add_argument("--improve-per-class", type=int, default=800)
+    ap.add_argument("--ft-var-epochs", type=int, default=80)
+    ap.add_argument("--ft-rl-steps", type=int, default=6_000_000)
+    ap.add_argument("--num-envs", type=int, default=64)
+    ap.add_argument("--rl-lr", type=float, default=None)
+    ap.add_argument("--ent-coef", type=float, default=0.02)
+    ap.add_argument("--eval-per-class", type=int, default=16)
+    ap.add_argument("--eval-envs", type=int, default=8)
+    ap.add_argument("--stages", default="weak,weak_eval,improve,final_eval")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "E2E_r03.json"))
+    args = ap.parse_args()
+    stages = set(args.stages.split(","))
+
+    from var_tpu.train.checkpoint import latest_checkpoint
+    from var_tpu.train.pretext import PretextTrainer
+    from var_tpu.train.rl import RLTrainer
+
+    result = {
+        "weak": {"collect_per_class": args.weak_per_class,
+                 "var_epochs": args.weak_var_epochs,
+                 "rl_steps": args.weak_rl_steps},
+        "improve": {"collect_per_class": args.improve_per_class,
+                    "ft_var_epochs": args.ft_var_epochs,
+                    "ft_rl_steps": args.ft_rl_steps},
+    }
+    timings = {}
+    weak_var_ckpt = os.path.join(args.work, "var_model",
+                                 str(args.weak_var_epochs - 1))
+    ft_var_ckpt = os.path.join(args.work, "var_model",
+                               str(args.ft_var_epochs - 1))
+
+    if "weak" in stages:
+        t0 = time.time()
+        cfg = e2e_run.build_config(
+            args.env, args.work, args.weak_rl_steps, args.eval_per_class,
+            rl_lr=args.rl_lr, num_envs=args.num_envs,
+            ent_coef=args.ent_coef, collect_per_class=args.weak_per_class,
+            var_epochs=args.weak_var_epochs, device_sim=True)
+        pretext = PretextTrainer(cfg)
+        pretext.collectPretextData()
+        pretext.trainRepresentation()
+        timings["weak_var_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        rl = RLTrainer(cfg, env=args.env)
+        rl.load_pretext()
+        rl.trainRL()
+        timings["weak_rl_s"] = round(time.time() - t0, 1)
+
+    if "weak_eval" in stages:
+        t0 = time.time()
+        ckpt = latest_checkpoint(os.path.join(args.work, "rl_model"))
+        rate, n_eps = run_eval(args, weak_var_ckpt, ckpt)
+        timings["weak_eval_s"] = round(time.time() - t0, 1)
+        result["weak"].update(success_rate=rate, eval_episodes=n_eps,
+                              checkpoint=ckpt)
+        print(f"WEAK baseline success: {rate:.3f} over {n_eps} episodes")
+
+    if "improve" in stages:
+        t0 = time.time()
+        from var_tpu.train.self_improve import self_improve
+
+        cfg = e2e_run.build_config(
+            args.env, args.work, args.ft_rl_steps, args.eval_per_class,
+            rl_lr=args.rl_lr, num_envs=args.num_envs,
+            ent_coef=args.ent_coef,
+            collect_per_class=args.improve_per_class,
+            var_epochs=args.weak_var_epochs, device_sim=True)
+        # build_config points pretextModelLoadDir at the weak VAR's last
+        # epoch — exactly the checkpoint the fine-tune must start from
+        self_improve(cfg, rounds=1, env=args.env,
+                     pretext_epochs=args.ft_var_epochs,
+                     rl_steps=args.ft_rl_steps)
+        timings["improve_s"] = round(time.time() - t0, 1)
+
+    if "final_eval" in stages:
+        t0 = time.time()
+        ckpt = latest_checkpoint(os.path.join(args.work, "rl_model"))
+        rate, n_eps = run_eval(args, ft_var_ckpt, ckpt)
+        timings["final_eval_s"] = round(time.time() - t0, 1)
+        result["improve"].update(success_rate=rate, eval_episodes=n_eps,
+                                 checkpoint=ckpt)
+        print(f"IMPROVED success: {rate:.3f} over {n_eps} episodes")
+
+    result["timings_s"] = timings
+    import jax
+
+    result["hardware"] = str(jax.devices()[0])
+    doc = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            doc = json.load(f)
+    doc.setdefault("profiles", {}).setdefault(args.env, {})[
+        "self_improve_demo"] = result
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=2)
+    print("self-improve demo result:", json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

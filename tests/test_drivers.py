@@ -194,6 +194,39 @@ def test_manual_triplet_collection_scripted(tmp_path):
 
 
 @pytest.mark.slow
+def test_finetune_checkpoint_labels_continue(tmp_path):
+    """A fine-tune run's checkpoint labels continue from the restored
+    update counter, so latest_checkpoint() never resolves to a stale
+    pre-fine-tune checkpoint when the fine-tune runs fewer updates than
+    its base run (the self-improvement eval depends on this)."""
+    import jax
+
+    from var_tpu.models.encoders import init_pretext_params
+    from var_tpu.train.checkpoint import latest_checkpoint
+    from var_tpu.train.rl import RLTrainer
+
+    cfg = _cfg(tmp_path)
+    gym_register(cfg, env="arms")
+    rl = RLTrainer(cfg, env="arms")
+    rl.pretext_params = init_pretext_params(
+        rl.pretext_model, cfg, jax.random.PRNGKey(0))["params"]
+    # base run: 2 updates -> labels 00000, 00001
+    rl.trainRL(total_steps=cfg.ppoNumSteps * cfg.RLNumEnvs * 2,
+               log_interval=10)
+    assert latest_checkpoint(cfg.RLModelSaveDir).endswith("00001")
+
+    # fine-tune run with FEWER updates: must save 00002, not re-save 00000
+    cfg.override(RLModelFineTune=True,
+                 RLModelLoadDir=latest_checkpoint(cfg.RLModelSaveDir))
+    rl2 = RLTrainer(cfg, env="arms")
+    rl2.pretext_params = rl.pretext_params
+    rl2.trainRL(total_steps=cfg.ppoNumSteps * cfg.RLNumEnvs,
+                log_interval=10)
+    assert os.path.isdir(os.path.join(cfg.RLModelSaveDir, "00002"))
+    assert latest_checkpoint(cfg.RLModelSaveDir).endswith("00002")
+
+
+@pytest.mark.slow
 def test_self_improve_round(tmp_path):
     from var_tpu.train.pretext import PretextTrainer
     from var_tpu.train.self_improve import self_improve

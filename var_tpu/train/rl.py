@@ -192,6 +192,10 @@ class RLTrainer:
             variables = {"params": resume[0]}
         self.ppo = PPO(self.policy, PPOConfig.from_config(cfg))
         self._resume_state(variables, resume)
+        # checkpoint labels continue from the restored update counter:
+        # a fine-tune run with fewer updates than its base run must not
+        # leave the base's higher-numbered checkpoint as "latest"
+        j0 = int(self.state.step)
 
         rms = init_rms(N)
         episode_rewards = deque(maxlen=10)
@@ -209,7 +213,7 @@ class RLTrainer:
 
             if (j % cfg.RLModelSaveInterval == 0 or j == num_updates - 1) \
                     and cfg.RLModelSaveDir:
-                self.save_policy("%.5i" % j)
+                self.save_policy("%.5i" % (j0 + j))
             if j % log_interval == 0 and len(episode_rewards) > 1:
                 total_num_steps = (j + 1) * N * T
                 fps = int(total_num_steps / (time.time() - start))
@@ -301,6 +305,7 @@ class RLTrainer:
 
         self.ppo = PPO(self.policy, PPOConfig.from_config(cfg))
         self._resume_state(variables, resume)
+        j0 = int(self.state.step)  # label offset: see _train_device_sim
         engine.set_policy_params(self.state.params)
 
         self.rng, sub = jax.random.split(self.rng)
@@ -386,7 +391,7 @@ class RLTrainer:
 
             if (j % cfg.RLModelSaveInterval == 0 or j == num_updates - 1) \
                     and cfg.RLModelSaveDir:
-                self.save_policy("%.5i" % j)
+                self.save_policy("%.5i" % (j0 + j))
 
             if j % log_interval == 0 and len(episode_rewards) > 1:
                 total_num_steps = (j + 1) * N * T
@@ -446,6 +451,7 @@ class RLTrainer:
 
         self.ppo = PPO(self.policy, PPOConfig.from_config(cfg))
         self._resume_state(variables, resume)
+        j0 = int(self.state.step)  # label offset: see _train_device_sim
 
         # rollout storage over the *processed* obs space (the reward wrapper
         # rewrites the dict; RLObsIgnore keys are already gone)
@@ -509,7 +515,7 @@ class RLTrainer:
 
             if (j % cfg.RLModelSaveInterval == 0 or j == num_updates - 1) \
                     and cfg.RLModelSaveDir:
-                self.save_policy("%.5i" % j)
+                self.save_policy("%.5i" % (j0 + j))
 
             if j % log_interval == 0 and len(episode_rewards) > 1:
                 total_num_steps = (j + 1) * N * T
