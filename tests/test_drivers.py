@@ -226,6 +226,21 @@ def test_finetune_checkpoint_labels_continue(tmp_path):
     assert latest_checkpoint(cfg.RLModelSaveDir).endswith("00002")
 
 
+def test_next_selfimprove_index(tmp_path):
+    """Successive self_improve() invocations must not reuse shard names
+    (an overwritten selfimprove_<i>.pickle silently stops the fine-tune
+    dataset from accumulating across rounds)."""
+    from var_tpu.train.self_improve import next_selfimprove_index
+
+    cfg = _cfg(tmp_path)
+    train_dir = os.path.join(cfg.pretextDataDir[0], "train")
+    os.makedirs(train_dir, exist_ok=True)
+    assert next_selfimprove_index(cfg) == 0
+    for i in range(2):
+        open(os.path.join(train_dir, f"selfimprove_{i}.pickle"), "w").close()
+    assert next_selfimprove_index(cfg) == 2
+
+
 @pytest.mark.slow
 def test_self_improve_round(tmp_path):
     from var_tpu.train.pretext import PretextTrainer

@@ -18,6 +18,19 @@ from var_tpu.train.pretext import PretextTrainer
 from var_tpu.train.rl import RLTrainer
 
 
+def next_selfimprove_index(config) -> int:
+    """First unused selfimprove_<i> shard index. Shard names must be
+    unique across self_improve() *invocations* too, or a later call's
+    collect overwrites an earlier round's data and the fine-tune dataset
+    stops accumulating."""
+    train_dir = os.path.join(config.pretextDataDir[0], "train")
+    base = 0
+    while os.path.exists(os.path.join(train_dir,
+                                      f"selfimprove_{base}.pickle")):
+        base += 1
+    return base
+
+
 def self_improve(
     config,
     rounds: int = 1,
@@ -34,12 +47,13 @@ def self_improve(
       3. fine-tune the PPO policy against the updated frozen VAR.
     """
     gym_register(config, env=env)
+    base = next_selfimprove_index(config)
     for r in range(rounds):
-        print(f"=== self-improvement round {r} ===")
+        print(f"=== self-improvement round {base + r} ===")
 
         # 1. collect
         pretext = PretextTrainer(config)
-        pretext.collectPretextData(fileName=f"selfimprove_{r}")
+        pretext.collectPretextData(fileName=f"selfimprove_{base + r}")
 
         # 2. fine-tune the VAR (frozen image<->sound association)
         config.override(
