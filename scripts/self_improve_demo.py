@@ -55,6 +55,34 @@ def run_eval(args, var_ckpt, rl_ckpt):
     return rate, per_env * args.eval_envs * cfg.taskNum
 
 
+def run_probe(args, var_ckpt):
+    """Reward-landscape probe of one VAR checkpoint (profile-appropriate:
+    scripts/var_probe.py probe_2d for the arm, scripts/grid_probe.py for
+    the grid) — the quantity that predicts task success."""
+    from var_tpu.config import gym_register, main_config
+    from var_tpu.train.pretext import PretextTrainer
+
+    cfg = main_config(env=args.env)
+    cfg.override(pretextModelLoadDir=var_ckpt, RLTrain=True)
+    gym_register(cfg, env=args.env)
+    pt = PretextTrainer(cfg)
+    pt.loadPretextModel()
+    params = pt.variables["params"]
+    if args.env == "arms":
+        import var_probe
+
+        rate, mean_off = var_probe.probe_2d(cfg, pt.model, params,
+                                            n_layouts=3, verbose=False)
+        return {"peak_in_hitbox": round(rate, 3),
+                "mean_peak_offset_cm": round(mean_off * 100, 1)}
+    import grid_probe
+
+    pk, ca = grid_probe.probe(cfg, pt.model, params, n_layouts=2,
+                              verbose=False)
+    return {"peak_accuracy": round(pk, 3),
+            "on_object_class_accuracy": round(ca, 3)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("env", choices=["arms", "ai2thor"])
@@ -74,6 +102,9 @@ def main():
     ap.add_argument("--ent-coef", type=float, default=0.02)
     ap.add_argument("--eval-per-class", type=int, default=16)
     ap.add_argument("--eval-envs", type=int, default=8)
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the reward-landscape probes recorded after "
+                         "each eval stage")
     ap.add_argument("--stages", default="weak,weak_eval,improve,final_eval")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -124,6 +155,10 @@ def main():
         result["weak"].update(success_rate=rate, eval_episodes=n_eps,
                               checkpoint=ckpt)
         print(f"WEAK baseline success: {rate:.3f} over {n_eps} episodes")
+        if not args.no_probe:
+            result["weak"]["reward_landscape_probe"] = run_probe(
+                args, weak_var_ckpt)
+            print("weak probe:", result["weak"]["reward_landscape_probe"])
 
     if "improve" in stages:
         t0 = time.time()
@@ -150,6 +185,11 @@ def main():
         result["improve"].update(success_rate=rate, eval_episodes=n_eps,
                                  checkpoint=ckpt)
         print(f"IMPROVED success: {rate:.3f} over {n_eps} episodes")
+        if not args.no_probe:
+            result["improve"]["reward_landscape_probe"] = run_probe(
+                args, ft_var_ckpt)
+            print("improved probe:",
+                  result["improve"]["reward_landscape_probe"])
 
     result["timings_s"] = timings
     import jax
