@@ -10,11 +10,14 @@ with the frozen association, fine-tune the policy): it deliberately
 starts from a WEAK VAR — reference-scale collect quota (50/class),
 which underfits the builtin renders (reward-landscape probe
 scripts/var_probe.py: near-chance class separation) — trains a policy
-to that VAR's ceiling, evaluates it, then runs one round of the shipped
-`var_tpu.train.self_improve.self_improve()` driver and evaluates again.
-The artifact records both success rates; the delta is the demonstration.
+to that VAR's ceiling, evaluates it, then runs `--rounds` rounds of the
+shipped `var_tpu.train.self_improve.self_improve()` driver, evaluating
+and reward-landscape-probing after each. Collected shards accumulate
+across rounds (selfimprove_<i> naming), so the artifact records the
+whole improvement curve — E2E_r03.json's arm curve
+(0.031 -> 0.48 -> 0.61 -> 0.78) is this script's output shape.
 
-    python scripts/self_improve_demo.py arms /tmp/si_demo
+    python scripts/self_improve_demo.py arms /tmp/si_demo --rounds 3
 
 Writes/updates profiles.<env>.self_improve_demo in --out
 (default E2E_r03.json).
@@ -97,6 +100,11 @@ def main():
     ap.add_argument("--improve-per-class", type=int, default=800)
     ap.add_argument("--ft-var-epochs", type=int, default=80)
     ap.add_argument("--ft-rl-steps", type=int, default=6_000_000)
+    ap.add_argument("--rounds", type=int, default=1,
+                    help="number of self_improve() rounds; collected "
+                         "shards accumulate across rounds (selfimprove_<i> "
+                         "naming), each round is evaluated and probed "
+                         "separately so the artifact records the curve")
     ap.add_argument("--num-envs", type=int, default=64)
     ap.add_argument("--rl-lr", type=float, default=None)
     ap.add_argument("--ent-coef", type=float, default=0.02)
@@ -117,12 +125,13 @@ def main():
     from var_tpu.train.rl import RLTrainer
 
     result = {
+        "pipeline": "weak VAR -> PPO -> eval, then self_improve() rounds "
+                    "(collect -> VARFineTuneDataset fine-tune -> policy "
+                    "fine-tune, full-state resume) -> eval after each",
         "weak": {"collect_per_class": args.weak_per_class,
                  "var_epochs": args.weak_var_epochs,
                  "rl_steps": args.weak_rl_steps},
-        "improve": {"collect_per_class": args.improve_per_class,
-                    "ft_var_epochs": args.ft_var_epochs,
-                    "ft_rl_steps": args.ft_rl_steps},
+        "rounds": [],
     }
     timings = {}
     weak_var_ckpt = os.path.join(args.work, "var_model",
@@ -161,7 +170,6 @@ def main():
             print("weak probe:", result["weak"]["reward_landscape_probe"])
 
     if "improve" in stages:
-        t0 = time.time()
         from var_tpu.train.self_improve import self_improve
 
         cfg = e2e_run.build_config(
@@ -171,25 +179,50 @@ def main():
             collect_per_class=args.improve_per_class,
             var_epochs=args.weak_var_epochs, device_sim=True)
         # build_config points pretextModelLoadDir at the weak VAR's last
-        # epoch — exactly the checkpoint the fine-tune must start from
-        self_improve(cfg, rounds=1, env=args.env,
-                     pretext_epochs=args.ft_var_epochs,
-                     rl_steps=args.ft_rl_steps)
-        timings["improve_s"] = round(time.time() - t0, 1)
-
-    if "final_eval" in stages:
-        t0 = time.time()
+        # epoch — exactly the checkpoint round 1's fine-tune must start
+        # from; self_improve() itself advances it to the newly fine-tuned
+        # checkpoint, so reusing ONE cfg across rounds chains them (and
+        # next_selfimprove_index keeps each round's collected shard, so
+        # the fine-tune dataset accumulates)
+        for r in range(args.rounds):
+            t0 = time.time()
+            self_improve(cfg, rounds=1, env=args.env,
+                         pretext_epochs=args.ft_var_epochs,
+                         rl_steps=args.ft_rl_steps)
+            round_rec = {
+                "round": r + 1,
+                "collect_per_class": args.improve_per_class,
+                "ft_var_epochs": args.ft_var_epochs,
+                "ft_rl_steps": args.ft_rl_steps,
+                "train_s": round(time.time() - t0, 1),
+            }
+            if "final_eval" in stages:
+                t0 = time.time()
+                ckpt = latest_checkpoint(
+                    os.path.join(args.work, "rl_model"))
+                rate, n_eps = run_eval(args, ft_var_ckpt, ckpt)
+                round_rec.update(success_rate=rate, eval_episodes=n_eps,
+                                 checkpoint=ckpt,
+                                 eval_s=round(time.time() - t0, 1))
+                print(f"ROUND {r + 1} success: {rate:.3f} over "
+                      f"{n_eps} episodes")
+                if not args.no_probe:
+                    round_rec["reward_landscape_probe"] = run_probe(
+                        args, ft_var_ckpt)
+                    print(f"round {r + 1} probe:",
+                          round_rec["reward_landscape_probe"])
+            result["rounds"].append(round_rec)
+    elif "final_eval" in stages:
+        # standalone eval of whatever the work dir currently holds (e.g.
+        # re-scoring after an out-of-band resume)
         ckpt = latest_checkpoint(os.path.join(args.work, "rl_model"))
         rate, n_eps = run_eval(args, ft_var_ckpt, ckpt)
-        timings["final_eval_s"] = round(time.time() - t0, 1)
-        result["improve"].update(success_rate=rate, eval_episodes=n_eps,
-                                 checkpoint=ckpt)
-        print(f"IMPROVED success: {rate:.3f} over {n_eps} episodes")
+        rec = {"success_rate": rate, "eval_episodes": n_eps,
+               "checkpoint": ckpt}
         if not args.no_probe:
-            result["improve"]["reward_landscape_probe"] = run_probe(
-                args, ft_var_ckpt)
-            print("improved probe:",
-                  result["improve"]["reward_landscape_probe"])
+            rec["reward_landscape_probe"] = run_probe(args, ft_var_ckpt)
+        result["rounds"].append(rec)
+        print(f"EVAL success: {rate:.3f} over {n_eps} episodes")
 
     result["timings_s"] = timings
     import jax
