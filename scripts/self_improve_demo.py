@@ -124,6 +124,22 @@ def main():
     from var_tpu.train.pretext import PretextTrainer
     from var_tpu.train.rl import RLTrainer
 
+    def persist(result):
+        """Merge the current result into --out immediately. Called after
+        every eval stage so a killed run (session restarts, OOM — see
+        ROADMAP 'known environment issues') keeps its completed rounds."""
+        import jax
+
+        result["hardware"] = str(jax.devices()[0])
+        doc = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                doc = json.load(f)
+        doc.setdefault("profiles", {}).setdefault(args.env, {})[
+            "self_improve_demo"] = result
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=2)
+
     result = {
         "pipeline": "weak VAR -> PPO -> eval, then self_improve() rounds "
                     "(collect -> VARFineTuneDataset fine-tune -> policy "
@@ -168,6 +184,8 @@ def main():
             result["weak"]["reward_landscape_probe"] = run_probe(
                 args, weak_var_ckpt)
             print("weak probe:", result["weak"]["reward_landscape_probe"])
+        result["timings_s"] = timings
+        persist(result)
 
     if "improve" in stages:
         from var_tpu.train.self_improve import self_improve
@@ -212,6 +230,8 @@ def main():
                     print(f"round {r + 1} probe:",
                           round_rec["reward_landscape_probe"])
             result["rounds"].append(round_rec)
+            result["timings_s"] = timings
+            persist(result)
     elif "final_eval" in stages:
         # standalone eval of whatever the work dir currently holds (e.g.
         # re-scoring after an out-of-band resume)
@@ -225,17 +245,7 @@ def main():
         print(f"EVAL success: {rate:.3f} over {n_eps} episodes")
 
     result["timings_s"] = timings
-    import jax
-
-    result["hardware"] = str(jax.devices()[0])
-    doc = {}
-    if os.path.exists(args.out):
-        with open(args.out) as f:
-            doc = json.load(f)
-    doc.setdefault("profiles", {}).setdefault(args.env, {})[
-        "self_improve_demo"] = result
-    with open(args.out, "w") as f:
-        json.dump(doc, f, indent=2)
+    persist(result)
     print("self-improve demo result:", json.dumps(result))
 
 

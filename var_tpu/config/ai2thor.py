@@ -158,6 +158,12 @@ class AI2ThorConfig(ConfigBase):
         # rollout becomes one XLA program with zero per-step host syncs
         # (rl/device_sim.py); eval still uses the host testRL path
         self.RLDeviceSimRollout = False
+        # testRL on the device-resident sim (one XLA program per N-episode
+        # batch, rl/device_sim.py eval_batch): same success rule and CSV
+        # schema, ~100x faster than the host path — writes
+        # test_<ckpt>_devicesim.csv so the canonical host-evaluated CSVs
+        # are never confused with device-evaluated ones
+        self.RLDeviceSimEval = False
 
         self.cfg_check()
 

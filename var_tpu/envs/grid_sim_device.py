@@ -307,15 +307,15 @@ def exe_action(bank: PlanBank, plan, pos, rot_idx, toggled, action, config):
     return new_pos, new_rot, new_tog
 
 
-def random_reset(bank: PlanBank, key, n, n_tasks, task_obj, task_on, config):
-    """Batched episode reset (grid_sim.py reset + _setup_task):
-    random task, random floor plan, random teleport + random object
-    states, then the commanded object forced opposite to the act.
-    task_obj (n_tasks,) i32: object index per task; task_on (n_tasks,)
-    bool: act == ToggleObjectOn. Returns (plan, pos, rot_idx, toggled,
-    task_id)."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    task_id = jax.random.randint(k1, (n,), 0, n_tasks)
+def reset_with_task(bank: PlanBank, key, task_id, task_obj, task_on, config):
+    """Batched episode reset with FORCED commanded tasks (the test-time
+    round-robin path, grid_sim.py reset:433-439): random floor plan,
+    random teleport + random object states, then the commanded object
+    forced opposite to the act (_setup_task, reference
+    RL_env_VAR.py:251-266). task_id (n,) i32 selects each env's task.
+    Returns (plan, pos, rot_idx, toggled)."""
+    n = task_id.shape[0]
+    k2, k3, k4, k5 = jax.random.split(key, 4)
     plan = jax.random.randint(k2, (n,), 0, bank.grids.shape[0])
     fidx = (jax.random.uniform(k3, (n,))
             * bank.free_count[plan].astype(jnp.float32)).astype(jnp.int32)
@@ -326,4 +326,15 @@ def random_reset(bank: PlanBank, key, n, n_tasks, task_obj, task_on, config):
     want = ~task_on[task_id]  # forced OPPOSITE of the commanded act
     sel = jax.nn.one_hot(obj, 2, dtype=jnp.bool_)
     toggled = jnp.where(sel, want[:, None], toggled)
-    return plan, pos.astype(jnp.int32), rot_idx, toggled, task_id
+    return plan, pos.astype(jnp.int32), rot_idx, toggled
+
+
+def random_reset(bank: PlanBank, key, n, n_tasks, task_obj, task_on, config):
+    """Batched episode reset (grid_sim.py reset + _setup_task):
+    random task, then reset_with_task. Returns (plan, pos, rot_idx,
+    toggled, task_id)."""
+    k1, krest = jax.random.split(key)
+    task_id = jax.random.randint(k1, (n,), 0, n_tasks)
+    plan, pos, rot_idx, toggled = reset_with_task(
+        bank, krest, task_id, task_obj, task_on, config)
+    return plan, pos, rot_idx, toggled, task_id

@@ -266,6 +266,55 @@ class DeviceSimEngine:
         return self._collect(rms, self.var_params, policy_params,
                              self.goal_bank, key)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _eval_batch(self, var_params, policy_params, bank, intent, key):
+        """One batch of N deterministic eval episodes with FORCED commanded
+        classes — the device twin of the host testRL loop (train/rl.py
+        testRL; reference VAR/RL_VAR.py:35-61). Success is the host rule:
+        at the final step, the ray test must hit the commanded object
+        (arm_sim._test_policy, reference fourInARow.py:317-335). Returns
+        (success (N,) bool, goal_counts (N,) i32, raw reward sums (N,))."""
+        cfg, k, N, T, D = self.config, self.k, self.N, self.T, self.D
+        kr, kc, ks = jax.random.split(key, 3)
+
+        obj_pose, obj_order, ee = sim.randomize(kr, N, k)
+        clip = jax.random.randint(kc, (N,), 0, bank.shape[1])
+        goal_feat = bank[intent, clip]  # (N, D)
+
+        img = sim.render_chw(obj_pose, ee, k)
+        ifeat = self._encode_image(var_params, img)
+        hx = jnp.zeros((N, self.hidden))
+        masks1 = jnp.ones((N, 1))
+
+        def step(carry, kstep):
+            ee, img, ifeat, hx, raw_sum = carry
+            obs = {"robot_pose": ee, "goal_sound_feat": goal_feat,
+                   "image": img, "image_feat": ifeat}
+            _, action, _, hx2 = self._act(
+                policy_params, obs, hx, masks1, kstep,
+                bool(cfg.RLDeterministic))
+            ee2 = sim.apply_action(ee, action.astype(jnp.float32), k)
+            img2 = sim.render_chw(obj_pose, ee2, k)
+            ifeat2 = self._encode_image(var_params, img2)
+            raw_r = jnp.sum(ifeat2[:, :D] * goal_feat, axis=1)
+            return (ee2, img2, ifeat2, hx2, raw_sum + raw_r), None
+
+        (ee_T, _, _, _, raw_sum), _ = jax.lax.scan(
+            step, (ee, img, ifeat, hx, jnp.zeros((N,))),
+            jax.random.split(ks, T))
+
+        hit = sim.ray_test(obj_pose, ee_T)  # (N,) -1 or object index
+        hit_class = jnp.take_along_axis(
+            obj_order, jnp.clip(hit, 0, None)[:, None], axis=1)[:, 0]
+        success = (hit >= 0) & (hit_class == intent)
+        # the host counts goal_area only at the terminal step, so the
+        # count is the success bit (threshold 1)
+        return success, success.astype(jnp.int32), raw_sum
+
+    def eval_batch(self, policy_params, intent, key):
+        return self._eval_batch(self.var_params, policy_params,
+                                self.goal_bank, intent, key)
+
 
 class GridDeviceSimEngine:
     """Device-resident rollout collector for the grid (iTHOR-profile)
@@ -453,3 +502,62 @@ class GridDeviceSimEngine:
     def collect(self, rms: RMSState, policy_params, key):
         return self._collect(rms, self.var_params, policy_params,
                              self.goal_bank, key)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _eval_batch(self, var_params, policy_params, goal_bank, task_id,
+                    key):
+        """One batch of N deterministic eval episodes with FORCED tasks.
+        Success is the host rule: check_task_done (commanded object's
+        toggle state matches the act) counted after EVERY step, success
+        when the count reaches success_threshold (grid_sim.py step
+        eval branch; reference RL_env_VAR.py:623-636 checkTaskDone +
+        VAR/RL_VAR.py:57-61). Returns (success (N,) bool,
+        goal_counts (N,) i32, raw reward sums (N,))."""
+        cfg, N, T, D = self.config, self.N, self.T, self.D
+        gsim, bank = self.gsim, self.bank
+        kr, kc, ks = jax.random.split(key, 3)
+
+        plan, pos, rot, tog = gsim.reset_with_task(
+            bank, kr, task_id, self.task_obj, self.task_on, cfg)
+        clip = jax.random.randint(kc, (N,), 0, goal_bank.shape[1])
+        goal_feat = goal_bank[task_id, clip]  # (N, D)
+        obj = self.task_obj[task_id]          # (N,)
+        want_on = self.task_on[task_id]       # (N,) bool
+
+        def obs_of(img, occ, ifeat):
+            return {"occupancy": occ, "goal_sound_feat": goal_feat,
+                    "image": img, "image_feat": ifeat}
+
+        img = gsim.render_chw(bank, plan, pos, rot, tog, cfg)
+        occ = gsim.local_occupancy(bank, plan, pos, rot, cfg)
+        ifeat = self._encode_image(var_params, img)
+        hx = jnp.zeros((N, self.hidden))
+        masks1 = jnp.ones((N, 1))
+
+        def step(carry, kstep):
+            pos, rot, tog, img, occ, ifeat, hx, raw_sum, cnt = carry
+            _, action, _, hx2 = self._act(
+                policy_params, obs_of(img, occ, ifeat), hx, masks1, kstep,
+                bool(cfg.RLDeterministic))
+            pos2, rot2, tog2 = gsim.exe_action(
+                bank, plan, pos, rot, tog, action, cfg)
+            done_now = jnp.take_along_axis(
+                tog2, obj[:, None], axis=1)[:, 0] == want_on
+            img2 = gsim.render_chw(bank, plan, pos2, rot2, tog2, cfg)
+            occ2 = gsim.local_occupancy(bank, plan, pos2, rot2, cfg)
+            ifeat2 = self._encode_image(var_params, img2)
+            raw_r = jnp.sum(ifeat2[:, :D] * goal_feat, axis=1)
+            carry2 = (pos2, rot2, tog2, img2, occ2, ifeat2, hx2,
+                      raw_sum + raw_r, cnt + done_now.astype(jnp.int32))
+            return carry2, None
+
+        carry0 = (pos, rot, tog, img, occ, ifeat, hx,
+                  jnp.zeros((N,)), jnp.zeros((N,), jnp.int32))
+        carry, _ = jax.lax.scan(step, carry0, jax.random.split(ks, T))
+        raw_sum, cnt = carry[7], carry[8]
+        success = cnt >= int(cfg.success_threshold)
+        return success, cnt, raw_sum
+
+    def eval_batch(self, policy_params, task_id, key):
+        return self._eval_batch(self.var_params, policy_params,
+                                self.goal_bank, task_id, key)

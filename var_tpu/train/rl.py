@@ -573,6 +573,8 @@ class RLTrainer:
         costs ~15 RPCs/step and is 20-50x slower. Math is identical; the
         wrapped path remains for fusedRollout=False."""
         cfg = self.config
+        if getattr(cfg, "RLDeviceSimEval", False):
+            return self._test_device_sim(num_episodes, policy_path, num_envs)
         if getattr(cfg, "fusedRollout", False):
             return self._test_fused(num_episodes, policy_path, num_envs)
         N = int(num_envs)
@@ -668,6 +670,76 @@ class RLTrainer:
             print("results saved to", out)
         print("success rate", success_rate)
         return success_rate
+
+    def _test_device_sim(self, num_episodes: Optional[int] = None,
+                         policy_path: Optional[str] = None,
+                         num_envs: int = 1):
+        """Device-resident deterministic evaluation: each batch of
+        `num_envs` episodes is ONE XLA program (reset -> T-step scan of
+        render/VAR-reward/deterministic-act -> success rule) with a single
+        small readback — rl/device_sim.py eval_batch. Episode semantics
+        mirror the host batched testRL exactly: every batch runs one
+        round-robin slot with all envs commanded the same class, per-class
+        quotas come from the same derivation, and the CSV schema is
+        identical (reference VAR/RL_VAR.py:35-75). The success rule is the
+        device twin of the host rule and is trajectory-parity-tested
+        against the host sim (tests/test_device_eval.py); the CSV is
+        written as test_<ckpt>_devicesim.csv so canonical host-evaluated
+        results stay distinguishable."""
+        from var_tpu.envs import spaces as S
+        from var_tpu.rl.device_sim import DeviceSimEngine, GridDeviceSimEngine
+
+        cfg = self.config
+        is_arm = cfg.name == "ArmConfig"
+        N = int(num_envs)
+        T = int(cfg.RLEnvMaxSteps)
+        if is_arm:
+            high = np.ones(cfg.RLActionDim, np.float32)
+            action_space = S.Box(-high, high, dtype=np.float32)
+        else:
+            action_space = S.Discrete(len(cfg.allActions))
+        self.policy = build_policy(cfg, action_space)
+        path = policy_path or cfg.skillInfos[0]["path"]
+        if not os.path.exists(path):
+            # see testRL — never score a random policy silently
+            raise FileNotFoundError(
+                f"policy checkpoint {path!r} does not exist")
+        params = self.load_policy_params(path)
+        print("Load the weights from", path)
+
+        engine_cls = DeviceSimEngine if is_arm else GridDeviceSimEngine
+        engine = engine_cls(self.pretext_model, self.pretext_params,
+                            self.policy, cfg, T, N)
+
+        size_per_class = _eval_size_per_class(cfg)
+        # one batch per round-robin slot, all N envs the same class — the
+        # lockstep host batched-eval semantics (testRL docstring)
+        class_seq = np.repeat(np.arange(cfg.taskNum, dtype=np.int32),
+                              size_per_class)
+        if num_episodes is not None:
+            n_batches = -(-int(num_episodes) // N)
+            class_seq = np.tile(class_seq, -(-n_batches //
+                                             max(1, len(class_seq))))
+            class_seq = class_seq[:n_batches]
+
+        rng = jax.random.PRNGKey(1)
+        results, goal_counts, ep_rewards = [], [], []
+        for c in class_seq:
+            rng, sub = jax.random.split(rng)
+            intent = jnp.full((N,), int(c), jnp.int32)
+            success, counts, raw = engine.eval_batch(params, intent, sub)
+            results.extend(np.asarray(success).astype(int).tolist())
+            goal_counts.extend(np.asarray(counts).tolist())
+            ep_rewards.extend(np.asarray(raw).tolist())
+        if num_episodes is not None:
+            results = results[:num_episodes]
+            goal_counts = goal_counts[:num_episodes]
+            ep_rewards = ep_rewards[:num_episodes]
+
+        return self._finish_eval(
+            os.path.join(os.path.dirname(path),
+                         os.path.basename(path) + "_devicesim"),
+            results, goal_counts, ep_rewards, size_per_class, N)
 
     def _test_fused(self, num_episodes: Optional[int] = None,
                     policy_path: Optional[str] = None, num_envs: int = 1):
