@@ -132,6 +132,12 @@ def main():
                     help="vec-env backend for the eval stage (forkserver "
                          "workers can be unreliable after heavy in-process "
                          "device work; 'dummy' sidesteps them)")
+    ap.add_argument("--device-eval-per-class", type=int, default=0,
+                    help="additionally run the device-resident evaluator "
+                         "(RLDeviceSimEval) at this many episodes per "
+                         "class for a tight-CI corroboration of the host "
+                         "eval (0 = off)")
+    ap.add_argument("--device-eval-envs", type=int, default=128)
     ap.add_argument("--stages", default="collect,var,rl,eval")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -201,6 +207,38 @@ def main():
                 args.work, "rl_model",
                 f"test_{os.path.basename(final_ckpt)}.csv"),
         )
+
+    if args.device_eval_per_class:
+        # high-precision corroboration on the device-resident evaluator
+        # (RLDeviceSimEval, ~150x/episode vs the host path): thousands of
+        # episodes tighten the binomial CI from +-0.08 at 64 eps to
+        # +-0.01-0.02; the host-path result above stays canonical
+        t0 = time.time()
+        cfg_d = build_config(args.env, args.work, args.rl_steps,
+                             args.eval_per_class, args.rl_lr,
+                             args.num_envs, args.ent_coef,
+                             args.collect_per_class, args.var_epochs)
+        cfg_d.override(RLTrain=False, RLDeviceSimEval=True)
+        per_env_d = max(1, args.device_eval_per_class
+                        // args.device_eval_envs)
+        scale_eval_quotas(cfg_d, per_env_d)
+        if hasattr(cfg_d, "testEpisodesPerClass"):
+            cfg_d.override(testEpisodesPerClass=per_env_d)
+        rl_dev = RLTrainer(cfg_d, env=args.env)
+        rl_dev.load_pretext()
+        rate_d = rl_dev.testRL(policy_path=final_ckpt,
+                               num_envs=args.device_eval_envs)
+        n_eps = per_env_d * args.device_eval_envs * cfg_d.taskNum
+        ci = 1.96 * (max(rate_d * (1 - rate_d), 1e-9) / n_eps) ** 0.5
+        result["device_eval"] = {
+            "success_rate": rate_d,
+            "eval_episodes": n_eps,
+            "ci95": round(ci, 4),
+            "eval_s": round(time.time() - t0, 1),
+            "note": "device-resident evaluator (trajectory-parity-tested "
+                    "twin of the host success rules); host-path "
+                    "success_rate above is the canonical number",
+        }
 
     result["timings_s"] = timings
     import jax

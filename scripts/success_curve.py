@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Task-success learning curve: sweep every saved checkpoint of a run
+with the device-resident evaluator.
+
+The reference only logs reward curves during training (RL.py:230-243
+progress.csv) and scores task success once, on the final checkpoint
+(VAR/RL_VAR.py:57-76). The device evaluator (rl/device_sim.py
+eval_batch, ~150x faster per episode than the host stack) makes success
+cheap enough to measure at EVERY checkpoint, turning the one-shot final
+score into a success-vs-steps curve — the task-level metric the
+framework actually optimizes for.
+
+    python scripts/success_curve.py arms /tmp/e2e_arm_r3b \
+        --episodes-per-class 128 --envs 64
+
+Writes <work>/rl_model/success_curve.csv: one row per checkpoint with
+the overall rate, per-class rates, and a 95% binomial CI.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from var_tpu.utils.jit_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+from e2e_run import build_config  # noqa: E402
+
+
+def list_checkpoints(rl_dir):
+    """Numeric checkpoint dirs sorted by update label."""
+    out = []
+    for name in os.listdir(rl_dir):
+        if name.isdigit() and os.path.isdir(os.path.join(rl_dir, name)):
+            out.append((int(name), os.path.join(rl_dir, name)))
+    return [p for _, p in sorted(out)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("env", choices=["arms", "ai2thor"])
+    ap.add_argument("work")
+    ap.add_argument("--episodes-per-class", type=int, default=128)
+    ap.add_argument("--envs", type=int, default=64,
+                    help="episodes per eval batch (one class per batch)")
+    ap.add_argument("--every", type=int, default=1,
+                    help="evaluate every k-th checkpoint")
+    ap.add_argument("--out", default=None,
+                    help="CSV path (default <work>/rl_model/"
+                         "success_curve.csv)")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from var_tpu.train.rl import RLTrainer
+
+    cfg = build_config(args.env, args.work, rl_steps=1, eval_per_class=1)
+    cfg.override(RLTrain=False)
+    trainer = RLTrainer(cfg, env=args.env)
+    trainer.load_pretext()
+    engine = trainer.device_eval_engine(args.envs)
+
+    rl_dir = os.path.join(args.work, "rl_model")
+    ckpts = list_checkpoints(rl_dir)[:: max(1, args.every)]
+    if not ckpts:
+        raise SystemExit(f"no checkpoints under {rl_dir}")
+    out_csv = args.out or os.path.join(rl_dir, "success_curve.csv")
+    batches = -(-args.episodes_per_class // args.envs)
+    n_classes = int(cfg.taskNum)
+    # steps-per-update from the run's own config snapshot (the training
+    # run may have overridden ppoNumSteps/RLNumEnvs vs profile defaults)
+    snap_path = os.path.join(rl_dir, "config.json")
+    if os.path.exists(snap_path):
+        import json
+
+        snap = json.load(open(snap_path))
+        steps_per_update = (int(snap["ppoNumSteps"])
+                            * int(snap["RLNumEnvs"]))
+    else:
+        steps_per_update = int(cfg.ppoNumSteps) * int(cfg.RLNumEnvs)
+
+    rows = []
+    rng = jax.random.PRNGKey(3)
+    for path in ckpts:
+        params = trainer.load_policy_params(path)
+        t0 = time.time()
+        per_class = []
+        for c in range(n_classes):
+            hits = total = 0
+            for _ in range(batches):
+                rng, sub = jax.random.split(rng)
+                intent = jnp.full((args.envs,), c, jnp.int32)
+                success, _, _ = engine.eval_batch(params, intent, sub)
+                hits += int(np.sum(np.asarray(success)))
+                total += args.envs
+            per_class.append(hits / total)
+        rate = float(np.mean(per_class))
+        n_eps = batches * args.envs * n_classes
+        ci = 1.96 * (max(rate * (1 - rate), 1e-9) / n_eps) ** 0.5
+        update = int(os.path.basename(path))
+        rows.append({"checkpoint": os.path.basename(path),
+                     "update": update,
+                     "env_steps": (update + 1) * steps_per_update,
+                     "success_rate": round(rate, 4),
+                     "ci95": round(ci, 4),
+                     **{f"class_{c}": round(r, 4)
+                        for c, r in enumerate(per_class)}})
+        print(f"{os.path.basename(path)}: {rate:.3f} ±{ci:.3f} "
+              f"({time.time() - t0:.1f}s, per-class "
+              f"{[round(r, 2) for r in per_class]})")
+
+    import pandas as pd
+
+    pd.DataFrame(rows).to_csv(out_csv, index=False)
+    print("curve saved to", out_csv)
+
+
+if __name__ == "__main__":
+    main()

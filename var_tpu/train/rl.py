@@ -671,6 +671,28 @@ class RLTrainer:
         print("success rate", success_rate)
         return success_rate
 
+    def device_eval_engine(self, num_envs: int):
+        """Build the device-resident evaluator (policy net + sim engine)
+        for `num_envs`-episode batches. Shared by _test_device_sim and
+        checkpoint-sweep tooling (scripts/success_curve.py): the engine's
+        jitted eval program is cached on parameter STRUCTURE, so one
+        engine evaluates any number of checkpoints without recompiling."""
+        from var_tpu.envs import spaces as S
+        from var_tpu.rl.device_sim import DeviceSimEngine, GridDeviceSimEngine
+
+        cfg = self.config
+        is_arm = cfg.name == "ArmConfig"
+        if is_arm:
+            high = np.ones(cfg.RLActionDim, np.float32)
+            action_space = S.Box(-high, high, dtype=np.float32)
+        else:
+            action_space = S.Discrete(len(cfg.allActions))
+        self.policy = build_policy(cfg, action_space)
+        engine_cls = DeviceSimEngine if is_arm else GridDeviceSimEngine
+        return engine_cls(self.pretext_model, self.pretext_params,
+                          self.policy, cfg, int(cfg.RLEnvMaxSteps),
+                          int(num_envs))
+
     def _test_device_sim(self, num_episodes: Optional[int] = None,
                          policy_path: Optional[str] = None,
                          num_envs: int = 1):
@@ -686,30 +708,16 @@ class RLTrainer:
         against the host sim (tests/test_device_eval.py); the CSV is
         written as test_<ckpt>_devicesim.csv so canonical host-evaluated
         results stay distinguishable."""
-        from var_tpu.envs import spaces as S
-        from var_tpu.rl.device_sim import DeviceSimEngine, GridDeviceSimEngine
-
         cfg = self.config
-        is_arm = cfg.name == "ArmConfig"
         N = int(num_envs)
-        T = int(cfg.RLEnvMaxSteps)
-        if is_arm:
-            high = np.ones(cfg.RLActionDim, np.float32)
-            action_space = S.Box(-high, high, dtype=np.float32)
-        else:
-            action_space = S.Discrete(len(cfg.allActions))
-        self.policy = build_policy(cfg, action_space)
         path = policy_path or cfg.skillInfos[0]["path"]
         if not os.path.exists(path):
             # see testRL — never score a random policy silently
             raise FileNotFoundError(
                 f"policy checkpoint {path!r} does not exist")
+        engine = self.device_eval_engine(N)
         params = self.load_policy_params(path)
         print("Load the weights from", path)
-
-        engine_cls = DeviceSimEngine if is_arm else GridDeviceSimEngine
-        engine = engine_cls(self.pretext_model, self.pretext_params,
-                            self.policy, cfg, T, N)
 
         size_per_class = _eval_size_per_class(cfg)
         # one batch per round-robin slot, all N envs the same class — the
