@@ -79,6 +79,11 @@ def build_config(env, work, rl_steps, eval_per_class, rl_lr=None,
     return cfg
 
 
+def binom_ci95(rate, n_episodes):
+    """95% normal-approximation binomial confidence half-width."""
+    return 1.96 * (max(rate * (1 - rate), 1e-9) / n_episodes) ** 0.5
+
+
 def scale_eval_quotas(cfg, eval_per_class):
     """Scale the per-class eval episode quotas to the eval budget.
 
@@ -229,7 +234,7 @@ def main():
         rate_d = rl_dev.testRL(policy_path=final_ckpt,
                                num_envs=args.device_eval_envs)
         n_eps = per_env_d * args.device_eval_envs * cfg_d.taskNum
-        ci = 1.96 * (max(rate_d * (1 - rate_d), 1e-9) / n_eps) ** 0.5
+        ci = binom_ci95(rate_d, n_eps)
         result["device_eval"] = {
             "success_rate": rate_d,
             "eval_episodes": n_eps,

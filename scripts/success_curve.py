@@ -30,7 +30,7 @@ from var_tpu.utils.jit_cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 
-from e2e_run import build_config  # noqa: E402
+from e2e_run import binom_ci95, build_config  # noqa: E402
 
 
 def list_checkpoints(rl_dir):
@@ -64,28 +64,45 @@ def main():
 
     cfg = build_config(args.env, args.work, rl_steps=1, eval_per_class=1)
     cfg.override(RLTrain=False)
-    trainer = RLTrainer(cfg, env=args.env)
-    trainer.load_pretext()
-    engine = trainer.device_eval_engine(args.envs)
 
     rl_dir = os.path.join(args.work, "rl_model")
-    ckpts = list_checkpoints(rl_dir)[:: max(1, args.every)]
-    if not ckpts:
-        raise SystemExit(f"no checkpoints under {rl_dir}")
-    out_csv = args.out or os.path.join(rl_dir, "success_curve.csv")
-    batches = -(-args.episodes_per_class // args.envs)
-    n_classes = int(cfg.taskNum)
-    # steps-per-update from the run's own config snapshot (the training
-    # run may have overridden ppoNumSteps/RLNumEnvs vs profile defaults)
+    # the run's own config snapshot is the source of truth for everything
+    # that shapes the nets and the episode protocol: the run may have
+    # used a different --var-epochs than this invocation's default (so
+    # pretextModelLoadDir MUST come from the snapshot — var_model/39
+    # exists as a mid-training save even when the final VAR is epoch 59,
+    # and loading it would silently score every policy against an
+    # encoder it was never trained with), different recurrent sizes, or
+    # different T/N
     snap_path = os.path.join(rl_dir, "config.json")
     if os.path.exists(snap_path):
         import json
 
         snap = json.load(open(snap_path))
+        cfg.override(**{k: snap[k] for k in (
+            "pretextModelLoadDir", "pretextEpoch", "representationDim",
+            "RLRecurrentSize", "RLRecurrentInputSize", "RLEnvMaxSteps",
+            "RLDeterministic") if k in snap})
         steps_per_update = (int(snap["ppoNumSteps"])
                             * int(snap["RLNumEnvs"]))
     else:
         steps_per_update = int(cfg.ppoNumSteps) * int(cfg.RLNumEnvs)
+
+    trainer = RLTrainer(cfg, env=args.env)
+    trainer.load_pretext()
+    engine = trainer.device_eval_engine(args.envs)
+
+    all_ckpts = list_checkpoints(rl_dir)
+    if not all_ckpts:
+        raise SystemExit(f"no checkpoints under {rl_dir}")
+    ckpts = all_ckpts[:: max(1, args.every)]
+    if ckpts[-1] != all_ckpts[-1]:
+        # never drop the endpoint: the final checkpoint is the policy
+        # the run actually ships (and the one e2e_run scores)
+        ckpts.append(all_ckpts[-1])
+    out_csv = args.out or os.path.join(rl_dir, "success_curve.csv")
+    batches = -(-args.episodes_per_class // args.envs)
+    n_classes = int(cfg.taskNum)
 
     rows = []
     rng = jax.random.PRNGKey(3)
@@ -104,7 +121,7 @@ def main():
             per_class.append(hits / total)
         rate = float(np.mean(per_class))
         n_eps = batches * args.envs * n_classes
-        ci = 1.96 * (max(rate * (1 - rate), 1e-9) / n_eps) ** 0.5
+        ci = binom_ci95(rate, n_eps)
         update = int(os.path.basename(path))
         rows.append({"checkpoint": os.path.basename(path),
                      "update": update,

@@ -112,24 +112,22 @@ def test_arm_device_eval_matches_host_trajectory():
 
 
 def test_arm_device_eval_respects_intents():
-    """Each env's goal embedding is a bank row of its FORCED class —
-    the round-robin contract the trainer's per-batch class assignment
-    relies on. Verified through the reward: an env commanded class c and
-    parked on class c's object must get the same final raw reward sign
-    pattern as recomputing dot(image_feat, bank[c]) by hand; here we
-    check the reset wiring directly instead (goal_feat rows come from
-    bank[intent])."""
+    """The FORCED intent must actually flow into the compiled eval
+    program (goal_feat = bank[intent] feeds both the policy obs and the
+    reward): the same key with two different intent vectors must yield
+    different raw reward sums. A mutation that ignores `intent` (e.g.
+    always gathering bank[0]) makes both calls identical and fails
+    this test."""
     _, eng, _, pv = _arm_setup(T=2, N=4)
-    intent = jnp.asarray([2, 2, 0, 1], jnp.int32)
     key = jax.random.PRNGKey(7)
-    kr, kc, _ = jax.random.split(key, 3)
-    clip = np.asarray(jax.random.randint(kc, (4,), 0,
-                                         eng.goal_bank.shape[1]))
-    expected = np.asarray(eng.goal_bank)[np.asarray(intent), clip]
-    # the program computes goal_feat = bank[intent, clip] with the same
-    # splits; reproduce and compare against a direct gather
-    got = np.asarray(eng.goal_bank[intent, jnp.asarray(clip)])
-    np.testing.assert_allclose(got, expected, atol=0)
+    _, _, raw_a = eng.eval_batch(
+        pv["params"], jnp.asarray([0, 1, 2, 3], jnp.int32), key)
+    _, _, raw_b = eng.eval_batch(
+        pv["params"], jnp.asarray([3, 2, 1, 0], jnp.int32), key)
+    # identical reset/keys, different commanded classes -> different
+    # goal embeddings -> different reward sums (goal_bank rows are
+    # distinct normalized embeddings of distinct synthetic clips)
+    assert not np.allclose(np.asarray(raw_a), np.asarray(raw_b))
 
 
 def _grid_setup(T=5, N=4, seed=0):
@@ -305,3 +303,18 @@ def test_trainer_device_sim_eval_csv(tmp_path):
     assert set(df.columns) == {"objIdx", "goal area count", "rewards",
                                "results"}
     assert not os.path.exists(str(tmp_path / "test_policy_ckpt.csv"))
+
+
+def test_device_eval_refuses_adapter_backend():
+    """RLDeviceSimEval compiles the BUILTIN sim; with an external adapter
+    backend configured the device score would describe a different
+    simulator than requested — testRL must refuse, not silently score."""
+    from var_tpu.train.rl import RLTrainer
+
+    cfg = main_config(env="arms")
+    cfg.override(RLTrain=False, RLDeviceSimEval=True,
+                 simBackend="pybullet")
+    gym_register(cfg, env="arms")
+    trainer = RLTrainer(cfg, env="arms")
+    with pytest.raises(ValueError, match="simBackend"):
+        trainer.testRL(policy_path="/nonexistent")

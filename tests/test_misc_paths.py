@@ -201,3 +201,23 @@ def test_rss_watchdog_warns_once():
     assert r1 > 0 and r2 > 0
     msgs = [m for m in rec if "host RSS" in str(m.message)]
     assert len(msgs) == 1  # warned once, not per check
+
+
+def test_success_curve_checkpoint_order(tmp_path):
+    """scripts/success_curve.list_checkpoints must sort checkpoints by
+    update NUMBER, not lexicographically ('999' < '01000' numerically but
+    not as strings), and ignore non-checkpoint entries (CSVs, config
+    snapshots)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from success_curve import list_checkpoints
+
+    for name in ["999", "01000", "00200", "0"]:
+        (tmp_path / name).mkdir()
+    (tmp_path / "config.json").write_text("{}")
+    (tmp_path / "test_00200.csv").write_text("")
+    got = [os.path.basename(p) for p in list_checkpoints(str(tmp_path))]
+    assert got == ["0", "00200", "999", "01000"]

@@ -574,6 +574,15 @@ class RLTrainer:
         wrapped path remains for fusedRollout=False."""
         cfg = self.config
         if getattr(cfg, "RLDeviceSimEval", False):
+            if getattr(cfg, "simBackend", "builtin") != "builtin":
+                # the device evaluator compiles the BUILTIN sim; scoring
+                # it while the config requests an external adapter
+                # (pybullet/ithor) would report success on a different
+                # simulator than configured — refuse instead
+                raise ValueError(
+                    "RLDeviceSimEval requires simBackend='builtin' "
+                    f"(got {cfg.simBackend!r}); use the host testRL path "
+                    "for adapter-backed environments")
             return self._test_device_sim(num_episodes, policy_path, num_envs)
         if getattr(cfg, "fusedRollout", False):
             return self._test_fused(num_episodes, policy_path, num_envs)
