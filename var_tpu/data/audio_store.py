@@ -30,6 +30,7 @@ import numpy as np
 from var_tpu.ops.audio import (
     PARAM_TABLE,
     STFTParams,
+    mfcc_psf,
     mfcc_single,
     pack_waveform,
     process_sound_feat,
@@ -327,15 +328,29 @@ class AudioStore:
         clip = clips[int(rand_fn(0, len(clips), size=()))]
         return clip, self.param_dict[ds], ds
 
+    def get_mfcc(self, audioSamples, param: STFTParams,
+                 mfcc_from: str = "torchaudio", backend: str = "numpy"):
+        """(reference: Envs/audioLoader.py:147-164) — one clip to a padded
+        (1, T, 40) feature. 'torchaudio' is the path the reference actually
+        exercises (its genSoundFeat default); 'python_speech_features'
+        selects the faithful twin of that library's conventions
+        (ops/audio.py::mfcc_psf — raw int16 amplitudes, pre-emphasis,
+        lifter, energy-c0)."""
+        if mfcc_from == "torchaudio":
+            feat = mfcc_single(audioSamples, param, backend=backend)
+        else:
+            feat = mfcc_psf(np.asarray(audioSamples), param)
+        return process_sound_feat(feat, self.config.sound_dim[1])
+
     def genSoundFeat(self, intentIdx: int, featType: str, rand_fn,
-                     backend: str = "numpy"):
+                     backend: str = "numpy", mfcc_from: str = "torchaudio"):
         """(reference: Envs/audioLoader.py:187-199). Returns
         ((1, T, 40) feature, raw clip)."""
         if featType != "MFCC":
             raise NotImplementedError(featType)
         clip, param, _ = self.getAudioSamples(intentIdx, rand_fn)
-        feat = mfcc_single(clip, param, backend=backend)
-        feat = process_sound_feat(feat, self.config.sound_dim[1])
+        feat = self.get_mfcc(clip, param, mfcc_from=mfcc_from,
+                             backend=backend)
         return feat, clip
 
     def _resolve_task(self, tsk, rand):
@@ -349,7 +364,8 @@ class AudioStore:
         return loc, obj, act
 
     def getAudioFromTask(self, random_func, tsk, TaskCls=None,
-                         backend: str = "numpy"):
+                         backend: str = "numpy",
+                         mfcc_from: str = "torchaudio"):
         """(reference: Envs/audioLoader.py:223-237). Returns
         (feature (1,T,40), clip, transcription)."""
         loc, obj, act = self._resolve_task(tsk, random_func)
@@ -362,8 +378,8 @@ class AudioStore:
             if isinstance(self.config.soundSource["dataset"], str)
             else "FSC"
         ]
-        feat = mfcc_single(clip, param, backend=backend)
-        feat = process_sound_feat(feat, self.config.sound_dim[1])
+        feat = self.get_mfcc(clip, param, mfcc_from=mfcc_from,
+                             backend=backend)
         return feat, clip, trans
 
     # -- batched sampling (TPU trainer path) --------------------------------

@@ -378,3 +378,71 @@ def process_sound_feat(feat: np.ndarray, target_frames: int) -> np.ndarray:
         pad = np.zeros((1, target_frames - nf, feat.shape[2]), dtype=feat.dtype)
         feat = np.concatenate([feat, pad], axis=1)
     return feat
+
+
+# -- python_speech_features-semantics backend (host) -------------------------
+#
+# The reference's get_mfcc has a second branch calling
+# python_speech_features.mfcc(audioSamples, fs, winlen, winstep, numcep=40,
+# nfilt=40, nfft, winfunc=np.hamming) (Envs/audioLoader.py:159-162). Its
+# conventions differ from the torchaudio path in every stage; this is a
+# faithful numpy twin of that library's defaults so the `mfcc_from` knob
+# keeps working without the dependency.
+
+
+def psf_filterbank(nfilt: int, n_fft: int, sample_rate: int,
+                   lowfreq: float = 0.0, highfreq=None) -> np.ndarray:
+    """python_speech_features.get_filterbanks: triangular filters on
+    FLOOR-quantized FFT bin indices (vs torchaudio's continuous-frequency
+    triangles in mel_filterbank above). Returns (nfilt, n_fft//2+1)."""
+    highfreq = highfreq or sample_rate / 2.0
+    m_pts = np.linspace(hz_to_mel_htk(lowfreq), hz_to_mel_htk(highfreq),
+                        nfilt + 2)
+    bins = np.floor((n_fft + 1) * mel_to_hz_htk(m_pts) / sample_rate)
+    fb = np.zeros((nfilt, n_fft // 2 + 1))
+    for j in range(nfilt):
+        for i in range(int(bins[j]), int(bins[j + 1])):
+            fb[j, i] = (i - bins[j]) / (bins[j + 1] - bins[j])
+        for i in range(int(bins[j + 1]), int(bins[j + 2])):
+            fb[j, i] = (bins[j + 2] - i) / (bins[j + 2] - bins[j + 1])
+    return fb
+
+
+def mfcc_psf(wav: np.ndarray, params: STFTParams, numcep: int = 40,
+             nfilt: int = 40, preemph: float = 0.97, ceplifter: int = 22,
+             append_energy: bool = True) -> np.ndarray:
+    """MFCC with python_speech_features semantics -> (frames, numcep).
+
+    Reproduces that library's default pipeline exactly: raw sample
+    amplitudes (the reference feeds int16 without /32768 on this branch),
+    0.97 pre-emphasis, non-centered framing with ceil frame count and a
+    zero tail pad, |rfft|^2/NFFT power spectrum, floor-binned mel
+    filterbank, eps floors on zero energies, ortho DCT-II over nfilt
+    log-energies, sinusoidal liftering (L=22), and log total frame energy
+    replacing coefficient 0.
+    """
+    n_fft, frame_len, frame_step, fs = params
+    signal = np.asarray(wav, dtype=np.float64)
+    signal = np.append(signal[0], signal[1:] - preemph * signal[:-1])
+    slen = signal.shape[0]
+    if slen <= frame_len:
+        numframes = 1
+    else:
+        numframes = 1 + int(math.ceil((1.0 * slen - frame_len) / frame_step))
+    padlen = (numframes - 1) * frame_step + frame_len
+    padded = np.concatenate([signal, np.zeros(padlen - slen)])
+    idx = (np.arange(numframes)[:, None] * frame_step
+           + np.arange(frame_len)[None, :])
+    frames = padded[idx] * np.hamming(frame_len)[None, :]
+    pspec = (np.abs(np.fft.rfft(frames, n_fft)) ** 2) / n_fft
+    energy = pspec.sum(axis=1)
+    energy = np.where(energy == 0, np.finfo(np.float64).eps, energy)
+    feat = pspec @ psf_filterbank(nfilt, n_fft, fs).T
+    feat = np.where(feat == 0, np.finfo(np.float64).eps, feat)
+    feat = np.log(feat) @ dct_matrix(numcep, nfilt)
+    if ceplifter > 0:
+        n = np.arange(numcep)
+        feat = feat * (1.0 + (ceplifter / 2.0) * np.sin(np.pi * n / ceplifter))
+    if append_energy:
+        feat[:, 0] = np.log(energy)
+    return feat.astype(np.float32)
