@@ -118,6 +118,12 @@ class FakeBulletClient:
             self.camera_image = rgba
         return (w, h, self.camera_image.ravel(), None, None)
 
+    def addUserDebugLine(self, start, end, color, lineWidth=1):
+        self._rec("addUserDebugLine", list(start), list(end), tuple(color),
+                  lineWidth=lineWidth)
+        self._next_uid += 1
+        return self._next_uid
+
     def disconnect(self):
         self._rec("disconnect")
 

@@ -270,3 +270,42 @@ def test_ithor_domain_randomization_toggles(thor_env):
     names = [c[0] for c in ctrl.calls[before:]]
     assert "Teleport" in names  # randomInitialPose
     assert any(n in ("ToggleObjectOn", "ToggleObjectOff") for n in names)
+
+
+def test_pybullet_debug_draw_helpers(pb_env):
+    # reference: env_bases.py:135-212 — rectangle (4 green width-5 lines on
+    # the z plane), grid (interior blue width-3 lines), AABB (12 edges,
+    # axis colors at the min corner)
+    env, client, cfg = pb_env
+    lines = []
+    env.drawRectangleDebug(lines, 0.0, 1.0, -0.5, 0.5, 0.2)
+    rect = client.calls_named("addUserDebugLine")
+    assert len(rect) == 4 and len(lines) == 4
+    assert all(c[1][2] == (0, 1, 0) and c[2]["lineWidth"] == 5 for c in rect)
+    assert all(c[1][0][2] == 0.2 and c[1][1][2] == 0.2 for c in rect)
+
+    client.calls.clear()
+    grid = []
+    env.drawGrid(grid, 0.25, 0.0, 1.0, 0.0, 1.0, 0.1)
+    gcalls = client.calls_named("addUserDebugLine")
+    # arange(0,1,0.25) -> 4 points -> 3 interior lines per axis
+    assert len(gcalls) == 6 == len(grid)
+    assert all(c[1][2] == (0, 0, 1) and c[2]["lineWidth"] == 3
+               for c in gcalls)
+
+    client.calls.clear()
+    env.drawAABB(((0.0, 0.0, 0.0), (1.0, 2.0, 3.0)))
+    acalls = client.calls_named("addUserDebugLine")
+    assert len(acalls) == 12
+    colors = [c[1][2] for c in acalls]
+    assert colors.count((1, 0, 0)) == 1  # x axis edge
+    assert colors.count((0, 1, 0)) == 1  # y axis edge
+    assert colors.count((0, 0, 1)) == 1  # z axis edge
+    assert colors.count((1.0, 0.5, 0.5)) == 1
+    assert colors.count((1, 1, 1)) == 8
+    # every edge is axis-aligned with length matching the box extents
+    import numpy as np
+
+    for _, (s, e, _c), _k in acalls:
+        d = np.abs(np.array(e) - np.array(s))
+        assert (d > 0).sum() == 1 and d.max() in (1.0, 2.0, 3.0)

@@ -163,6 +163,24 @@ class PyBulletFourInARow(FourInARowSim):  # pragma: no cover - needs pybullet
         rgb = rgb[:, 12:87]  # crop columns (reference: :175)
         return cv2.resize(rgb, (96, 96))
 
+    # -- GUI debug visuals (reference: env_bases.py:135-212) ----------------
+
+    def drawRectangleDebug(self, debugLines, xMin, xMax, yMin, yMax, z):
+        from .debug_draw import draw_rectangle
+
+        return draw_rectangle(self._p, debugLines, xMin, xMax, yMin, yMax, z)
+
+    def drawGrid(self, gridLines, gridSize, xMin, xMax, yMin, yMax, z):
+        from .debug_draw import draw_grid
+
+        return draw_grid(self._p, gridLines, gridSize, xMin, xMax, yMin,
+                         yMax, z)
+
+    def drawAABB(self, aabb):
+        from .debug_draw import draw_aabb
+
+        draw_aabb(self._p, aabb)
+
     def close(self):
         if self._p is not None:
             self._p.disconnect()
