@@ -55,7 +55,9 @@ def build_config(env, work, rl_steps, eval_per_class, rl_lr=None,
         # on-object class accuracy ~0.93 (scripts/var_probe.py)
         overrides["pretextCollectNum"] = (
             [collect_per_class] * cfg.taskNum + [2 * collect_per_class])
-        overrides["pretextDataEpisode"] = 2000
+        # generous episode cap: collection stops at quota anyway, and a
+        # fixed 2000 would starve >1600/class quotas
+        overrides["pretextDataEpisode"] = max(2000, 5 * collect_per_class)
     if var_epochs:
         overrides["pretextEpoch"] = var_epochs
         overrides["pretextLRDecayEpoch"] = [var_epochs // 2,
