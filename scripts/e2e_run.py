@@ -32,7 +32,8 @@ enable_persistent_cache()
 
 def build_config(env, work, rl_steps, eval_per_class, rl_lr=None,
                  num_envs=None, ent_coef=None, collect_per_class=None,
-                 var_epochs=None, pipelined=False, device_sim=False):
+                 var_epochs=None, pipelined=False, device_sim=False,
+                 extra_set=None):
     from var_tpu.config import gym_register, main_config
 
     cfg = main_config(env=env)
@@ -74,6 +75,12 @@ def build_config(env, work, rl_steps, eval_per_class, rl_lr=None,
         overrides["RLPipelinedRollout"] = True
     if device_sim:
         overrides["RLDeviceSimRollout"] = True
+    if extra_set:
+        # raw KNOB=VALUE overrides (same syntax as the pretext/RL CLIs)
+        # applied last, so they win over the runner's own derivations
+        from var_tpu.cli import parse_set_items
+
+        overrides.update(parse_set_items(extra_set))
     cfg.override(**overrides)
     cfg.override(pretextModelLoadDir=os.path.join(
         work, "var_model", str(cfg.pretextEpoch - 1)))
@@ -145,6 +152,21 @@ def main():
                          "class for a tight-CI corroboration of the host "
                          "eval (0 = off)")
     ap.add_argument("--device-eval-envs", type=int, default=128)
+    ap.add_argument("--select-best-per-class", type=int, default=0,
+                    help="sweep saved checkpoints with the device "
+                         "evaluator at this many episodes per class and "
+                         "record the best one (the reference only ever "
+                         "scores the final checkpoint; success typically "
+                         "saturates early and oscillates after — see "
+                         "artifacts/arm_success_curve_16M.csv); 0 = off")
+    ap.add_argument("--select-best-every", type=int, default=1,
+                    help="curve stride: evaluate every k-th checkpoint")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KNOB=VALUE",
+                    dest="set_items",
+                    help="extra config overrides, same syntax as the "
+                         "pretext/RL CLIs; applied after the runner's "
+                         "own overrides (e.g. --set "
+                         "RLModelSaveInterval=10)")
     ap.add_argument("--stages", default="collect,var,rl,eval")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -158,7 +180,8 @@ def main():
     cfg = build_config(args.env, args.work, args.rl_steps,
                        args.eval_per_class, args.rl_lr, args.num_envs,
                        args.ent_coef, args.collect_per_class,
-                       args.var_epochs, args.pipelined, args.device_sim)
+                       args.var_epochs, args.pipelined, args.device_sim,
+                       extra_set=args.set_items)
     timings = {}
     result = {
         "rl_steps": args.rl_steps,
@@ -224,7 +247,8 @@ def main():
         cfg_d = build_config(args.env, args.work, args.rl_steps,
                              args.eval_per_class, args.rl_lr,
                              args.num_envs, args.ent_coef,
-                             args.collect_per_class, args.var_epochs)
+                             args.collect_per_class, args.var_epochs,
+                             extra_set=args.set_items)
         cfg_d.override(RLTrain=False, RLDeviceSimEval=True)
         per_env_d = max(1, args.device_eval_per_class
                         // args.device_eval_envs)
@@ -246,6 +270,45 @@ def main():
                     "twin of the host success rules); host-path "
                     "success_rate above is the canonical number",
         }
+
+    if args.select_best_per_class:
+        # checkpoint selection: curve every saved policy on the device
+        # evaluator and ship the best, not merely the last — the curve
+        # tool measured final checkpoints oscillating ~0.1 below the
+        # band's top once success saturates (ROADMAP round-3 finding)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from success_curve import run_curve, select_best
+
+        t0 = time.time()
+        rows = run_curve(args.env, args.work,
+                         episodes_per_class=args.select_best_per_class,
+                         envs=args.device_eval_envs,
+                         every=args.select_best_every)
+        best = select_best(rows)
+        sel = {
+            "best_checkpoint": os.path.join(
+                args.work, "rl_model", best["checkpoint"]),
+            "best_success_rate": best["success_rate"],
+            "best_ci95": best["ci95"],
+            "best_env_steps": best["env_steps"],
+            "final_success_rate": rows[-1]["success_rate"],
+            # eval_batch runs whole envs-sized batches, so per-class
+            # episodes round up to a multiple of the batch size
+            "episodes_per_point": (
+                -(-args.select_best_per_class // args.device_eval_envs)
+                * args.device_eval_envs
+                * len([k for k in rows[0] if k.startswith("class_")])),
+            "curve_csv": os.path.join(args.work, "rl_model",
+                                      "success_curve.csv"),
+            "select_s": round(time.time() - t0, 1),
+        }
+        with open(os.path.join(args.work, "rl_model",
+                               "best_checkpoint.json"), "w") as f:
+            json.dump(sel, f, indent=2)
+        result["checkpoint_selection"] = sel
+        print(f"selected {sel['best_checkpoint']}: "
+              f"{best['success_rate']:.3f} ±{best['ci95']:.3f} "
+              f"(final: {rows[-1]['success_rate']:.3f})")
 
     result["timings_s"] = timings
     import jax

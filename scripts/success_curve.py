@@ -42,30 +42,31 @@ def list_checkpoints(rl_dir):
     return [p for _, p in sorted(out)]
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("env", choices=["arms", "ai2thor"])
-    ap.add_argument("work")
-    ap.add_argument("--episodes-per-class", type=int, default=128)
-    ap.add_argument("--envs", type=int, default=64,
-                    help="episodes per eval batch (one class per batch)")
-    ap.add_argument("--every", type=int, default=1,
-                    help="evaluate every k-th checkpoint")
-    ap.add_argument("--out", default=None,
-                    help="CSV path (default <work>/rl_model/"
-                         "success_curve.csv)")
-    args = ap.parse_args()
+def select_best(rows):
+    """Best curve row: highest success rate; ties go to the LATEST
+    checkpoint (more env-steps at the same measured rate — the policy
+    with more training behind an identical score)."""
+    if not rows:
+        raise ValueError("empty curve")
+    return max(rows, key=lambda r: (r["success_rate"], r["update"]))
 
+
+def run_curve(env, work, episodes_per_class=128, envs=64, every=1,
+              out_csv=None):
+    """Sweep every (k-th) checkpoint of a finished run with the
+    device-resident evaluator; returns the list of per-checkpoint rows
+    and writes them as CSV. The run's own config snapshot drives net
+    shapes and the episode protocol (see the snapshot note below)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from var_tpu.train.rl import RLTrainer
 
-    cfg = build_config(args.env, args.work, rl_steps=1, eval_per_class=1)
+    cfg = build_config(env, work, rl_steps=1, eval_per_class=1)
     cfg.override(RLTrain=False)
 
-    rl_dir = os.path.join(args.work, "rl_model")
+    rl_dir = os.path.join(work, "rl_model")
     # the run's own config snapshot is the source of truth for everything
     # that shapes the nets and the episode protocol: the run may have
     # used a different --var-epochs than this invocation's default (so
@@ -88,20 +89,20 @@ def main():
     else:
         steps_per_update = int(cfg.ppoNumSteps) * int(cfg.RLNumEnvs)
 
-    trainer = RLTrainer(cfg, env=args.env)
+    trainer = RLTrainer(cfg, env=env)
     trainer.load_pretext()
-    engine = trainer.device_eval_engine(args.envs)
+    engine = trainer.device_eval_engine(envs)
 
     all_ckpts = list_checkpoints(rl_dir)
     if not all_ckpts:
         raise SystemExit(f"no checkpoints under {rl_dir}")
-    ckpts = all_ckpts[:: max(1, args.every)]
+    ckpts = all_ckpts[:: max(1, every)]
     if ckpts[-1] != all_ckpts[-1]:
         # never drop the endpoint: the final checkpoint is the policy
         # the run actually ships (and the one e2e_run scores)
         ckpts.append(all_ckpts[-1])
-    out_csv = args.out or os.path.join(rl_dir, "success_curve.csv")
-    batches = -(-args.episodes_per_class // args.envs)
+    out_csv = out_csv or os.path.join(rl_dir, "success_curve.csv")
+    batches = -(-episodes_per_class // envs)
     n_classes = int(cfg.taskNum)
 
     rows = []
@@ -114,13 +115,13 @@ def main():
             hits = total = 0
             for _ in range(batches):
                 rng, sub = jax.random.split(rng)
-                intent = jnp.full((args.envs,), c, jnp.int32)
+                intent = jnp.full((envs,), c, jnp.int32)
                 success, _, _ = engine.eval_batch(params, intent, sub)
                 hits += int(np.sum(np.asarray(success)))
-                total += args.envs
+                total += envs
             per_class.append(hits / total)
         rate = float(np.mean(per_class))
-        n_eps = batches * args.envs * n_classes
+        n_eps = batches * envs * n_classes
         ci = binom_ci95(rate, n_eps)
         update = int(os.path.basename(path))
         rows.append({"checkpoint": os.path.basename(path),
@@ -138,6 +139,29 @@ def main():
 
     pd.DataFrame(rows).to_csv(out_csv, index=False)
     print("curve saved to", out_csv)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("env", choices=["arms", "ai2thor"])
+    ap.add_argument("work")
+    ap.add_argument("--episodes-per-class", type=int, default=128)
+    ap.add_argument("--envs", type=int, default=64,
+                    help="episodes per eval batch (one class per batch)")
+    ap.add_argument("--every", type=int, default=1,
+                    help="evaluate every k-th checkpoint")
+    ap.add_argument("--out", default=None,
+                    help="CSV path (default <work>/rl_model/"
+                         "success_curve.csv)")
+    args = ap.parse_args()
+    rows = run_curve(args.env, args.work,
+                     episodes_per_class=args.episodes_per_class,
+                     envs=args.envs, every=args.every, out_csv=args.out)
+    best = select_best(rows)
+    print(f"best checkpoint: {best['checkpoint']} "
+          f"({best['success_rate']:.3f} ±{best['ci95']:.3f} "
+          f"at {best['env_steps']} env-steps)")
 
 
 if __name__ == "__main__":

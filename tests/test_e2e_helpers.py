@@ -50,6 +50,26 @@ def test_scale_eval_quotas_grid_noop(tmp_path):
     assert cfg.soundSource == before
 
 
+def test_build_config_extra_set_wins(tmp_path):
+    """--set KNOB=VALUE passthrough: parsed like the CLIs' --set and
+    applied AFTER the runner's own overrides, so it can override them."""
+    cfg = build_config("arms", str(tmp_path), rl_steps=6400,
+                       eval_per_class=1,
+                       extra_set=["RLModelSaveInterval=10",
+                                  "RLTotalSteps=3200"])
+    assert cfg.RLModelSaveInterval == 10
+    assert cfg.RLTotalSteps == 3200  # beats the runner's rl_steps
+
+
+def test_parse_set_items():
+    from var_tpu.cli import parse_set_items
+
+    got = parse_set_items(["a=1", "b=true", "c=none", "d=[1,2]", "e=x"])
+    assert got == {"a": 1, "b": True, "c": None, "d": [1, 2], "e": "x"}
+    with pytest.raises(SystemExit):
+        parse_set_items(["novalue"])
+
+
 def test_build_config_var_epochs_set_milestones(tmp_path):
     cfg = build_config("arms", str(tmp_path), rl_steps=6400,
                        eval_per_class=1, var_epochs=60)

@@ -221,3 +221,24 @@ def test_success_curve_checkpoint_order(tmp_path):
     (tmp_path / "test_00200.csv").write_text("")
     got = [os.path.basename(p) for p in list_checkpoints(str(tmp_path))]
     assert got == ["0", "00200", "999", "01000"]
+
+
+def test_success_curve_select_best():
+    """select_best picks the highest success rate; ties break toward the
+    LATER checkpoint (same measured rate, more training behind it)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import pytest
+    from success_curve import select_best
+
+    rows = [
+        {"checkpoint": "00100", "update": 100, "success_rate": 0.84},
+        {"checkpoint": "00300", "update": 300, "success_rate": 0.78},
+        {"checkpoint": "00200", "update": 200, "success_rate": 0.84},
+    ]
+    assert select_best(rows)["checkpoint"] == "00200"
+    with pytest.raises(ValueError):
+        select_best([])

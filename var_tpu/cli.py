@@ -34,11 +34,11 @@ def parse_args(argv: Optional[Sequence[str]] = None, description: str = ""):
     return p.parse_args(argv)
 
 
-def build_config(args, role: str):
-    config = main_config(env=args.env)
-    config.pretext_RL = role
+def parse_set_items(items):
+    """KNOB=VALUE strings -> override dict; values are Python literals
+    with bare-string and true/false/none fallbacks."""
     overrides = {}
-    for item in args.set:
+    for item in items:
         if "=" not in item:
             raise SystemExit(
                 f"--set expects KNOB=VALUE, got {item!r}")
@@ -55,6 +55,13 @@ def build_config(args, role: str):
             else:
                 value = raw  # bare strings: --set RLPolicyBase=arm_VAR
         overrides[key] = value
+    return overrides
+
+
+def build_config(args, role: str):
+    config = main_config(env=args.env)
+    config.pretext_RL = role
+    overrides = parse_set_items(args.set)
     if overrides:
         try:
             config.override(**overrides)
