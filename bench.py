@@ -102,6 +102,20 @@ def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 96):
     dt = time.perf_counter() - t0
     resident_tps = BATCH * S * epochs / dt
 
+    # FLOP/MFU grounding for the headline program (the S-step scanned
+    # epoch: fused MFCC + both encoders + triplet loss + Adam per step)
+    pretext_cost = None
+    try:
+        from var_tpu.utils.flops import program_report
+
+        pretext_cost = program_report(
+            type(trainer)._train_epoch_scan,
+            (trainer, state, d_img, d_wav, d_len, *epoch_indices(S)),
+            dt / (S * epochs), steps_per_call=S,
+            items_per_call=S * BATCH)
+    except Exception as e:  # pragma: no cover - cost model optional
+        print(f"# pretext cost analysis failed: {e}", file=sys.stderr)
+
     # Streaming fallback (larger-than-HBM datasets): per-step full-batch
     # host->device transfer (u8 images + i16 waveforms) + the fused
     # wav-step, with the next batch's assembly + transfer double-buffered
@@ -132,7 +146,7 @@ def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 96):
             state, loss = trainer._train_step_wav(state, *dev)
         loss.block_until_ready()
         streaming_tps = BATCH * S2 / (time.perf_counter() - t0)
-    return resident_tps, streaming_tps
+    return resident_tps, streaming_tps, pretext_cost
 
 
 def bench_torch_cpu(cfg, audio, batches, iters: int = 2):
@@ -253,7 +267,8 @@ def bench_rl():
                 # as one XLA program (rl/device_sim.py) — its own try so
                 # a failure never loses the host-path numbers
                 try:
-                    ours_box["dsim"] = rl_bench.bench_device_sim()
+                    ours_box["dsim"], ours_box["dsim_cost"] = \
+                        rl_bench.bench_device_sim()
                 except Exception as e:  # pragma: no cover - defensive
                     print(f"# device-sim bench failed: {e}",
                           file=sys.stderr)
@@ -267,8 +282,10 @@ def bench_rl():
         th.join()
         if "e" in ours_box:
             raise ours_box["e"]
-        ours_exact, ours_pipe, fused_p50 = ours_box["v"]
+        ours_exact, ours_pipe, fused_p50, rl_costs = ours_box["v"]
         var_p50 = ours_box.get("var_p50")
+        if "dsim_cost" in ours_box and ours_box["dsim_cost"]:
+            rl_costs["device_sim_rollout"] = ours_box["dsim_cost"]
         print(f"# rl ours: exact {ours_exact:.1f}, pipelined "
               f"{ours_pipe:.1f} env-steps/s; var reward p50 "
               f"{var_p50:.2f} ms, fused step p50 {fused_p50:.2f} ms",
@@ -283,6 +300,10 @@ def bench_rl():
             "fused_step_p50_ms": round(fused_p50, 3) if fused_p50 else None,
             "device_sim_mode": (round(ours_box["dsim"], 1)
                                 if "dsim" in ours_box else None),
+            # XLA cost-analysis grounding: FLOPs/step + achieved
+            # TFLOP/s + %-of-bf16-peak MFU per benched program
+            # (var_tpu/utils/flops.py; VERDICT r3 item 2)
+            "cost": rl_costs or None,
         }
     except Exception as e:  # pragma: no cover - defensive
         print(f"# rl bench failed: {e}", file=sys.stderr)
@@ -294,7 +315,7 @@ def main():
 
     enable_persistent_cache()
     cfg, audio, batches = _make_batches(4)
-    tpu_tps, stream_tps = bench_tpu(cfg, audio, batches)
+    tpu_tps, stream_tps, pretext_cost = bench_tpu(cfg, audio, batches)
     print(f"# tpu: {tpu_tps:.1f} triplets/s (device-resident), "
           f"{stream_tps:.1f} (streaming double-buffered)", file=sys.stderr)
     try:
@@ -311,6 +332,7 @@ def main():
         "unit": "triplets/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "streaming_mode": round(stream_tps, 1),
+        "cost": pretext_cost,
         "rl": rl,
     }))
 

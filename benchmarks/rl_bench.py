@@ -33,7 +33,7 @@ def bench_ours(updates: int = 1, pipelined: bool = False):
     """Single-mode wrapper kept for direct use; bench_ours_both() measures
     both modes on one compiled engine (the compile dominates on the
     tunneled chip, and the two modes share every program)."""
-    exact, pipe, _ = bench_ours_both(updates)
+    exact, pipe, _, _ = bench_ours_both(updates)
     return pipe if pipelined else exact
 
 
@@ -119,7 +119,27 @@ def bench_ours_both(updates: int = 1):
     # the ONE device->host readback; BASELINE.json "VAR reward-inference
     # p50 ms" measured on the production fused path)
     p50 = float(np.percentile(fused_step_ms, 50)) if fused_step_ms else None
-    return results[0], results[1], p50
+
+    # FLOP/MFU grounding (VERDICT r3 item 2): time the PPO update alone
+    # (the loop above times rollout+update together), then run XLA cost
+    # analysis on both programs at the measured latencies
+    costs = {}
+    try:
+        batch = eng.device_batch()
+        upd_s = []
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            state, metrics = ppo.update(state, batch, sub)
+            jax.block_until_ready(metrics)
+            upd_s.append(time.perf_counter() - t0)
+        costs["ppo_update"] = ppo.cost_report(
+            state, batch, float(np.median(upd_s)))
+        if p50:
+            costs["fused_rollout_step"] = eng.cost_report(p50 / 1e3)
+    except Exception as e:  # pragma: no cover - cost model optional
+        print(f"# cost analysis failed: {e}", file=sys.stderr)
+    return results[0], results[1], p50, costs
 
 
 def bench_var_reward_p50(steps: int = 40):
@@ -352,7 +372,7 @@ def main():
     # headline = exact reference semantics (blocking rollout), matching
     # the torch twin's protocol; the one-step-stale pipelined mode is
     # reported separately (it changes rollout semantics, default-off)
-    ours, ours_pipe, fused_p50 = bench_ours_both()
+    ours, ours_pipe, fused_p50, _ = bench_ours_both()
     print(f"# ours (exact): {ours:.1f} env-steps/s", file=sys.stderr)
     print(f"# ours (pipelined): {ours_pipe:.1f} env-steps/s", file=sys.stderr)
     var_p50 = bench_var_reward_p50()
@@ -387,8 +407,8 @@ def bench_device_sim(n_envs: int = 64, t_steps: int = 100,
     """Device-resident sim training throughput (rl/device_sim.py): the
     whole rollout (reset -> scan of act/step/render/VAR-reward -> GAE) is
     one XLA program, the PPO update a second — zero per-step host syncs.
-    Returns env-steps/s over `timed_updates` steady-state update cycles
-    (collect + PPO update)."""
+    Returns (env-steps/s over `timed_updates` steady-state update cycles
+    (collect + PPO update), cost report for the rollout program)."""
     import os
     import jax
     import jax.numpy as jnp
@@ -438,4 +458,20 @@ def bench_device_sim(n_envs: int = 64, t_steps: int = 100,
     for _ in range(timed_updates):
         state, rms, key = one(state, rms, key)
     dt = time.time() - t0
-    return timed_updates * n_envs * t_steps / dt
+    tps = timed_updates * n_envs * t_steps / dt
+
+    # FLOP/MFU for the whole-rollout program at its own measured wall
+    # time (collect alone, excluding the PPO update)
+    cost = None
+    try:
+        k1, _, key = jax.random.split(key, 3)
+        rms2, batch, _ = eng.collect(rms, state.params, k1)
+        jax.block_until_ready(batch["returns"])
+        t0 = time.perf_counter()
+        rms2, batch, _ = eng.collect(rms, state.params, k1)
+        float(np.asarray(batch["returns"][0, 0]))
+        cost = eng.cost_report(rms, state.params,
+                               time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover - cost model optional
+        print(f"# device-sim cost analysis failed: {e}", file=sys.stderr)
+    return tps, cost

@@ -184,7 +184,9 @@ def main():
                        extra_set=args.set_items)
     timings = {}
     result = {
-        "rl_steps": args.rl_steps,
+        # resolved config, not args.rl_steps: --set RLTotalSteps=X wins
+        # over the runner's --rl-steps (parse order in build_config)
+        "rl_steps": int(cfg.RLTotalSteps),
         "collect_quota": list(cfg.pretextCollectNum),
         "num_envs": cfg.RLNumEnvs,
         "rl_lr": cfg.RLLr,
@@ -201,7 +203,10 @@ def main():
             pretext.trainRepresentation()
             timings["var_train_s"] = round(time.time() - t0, 1)
 
-    updates = args.rl_steps // (cfg.ppoNumSteps * cfg.RLNumEnvs)
+    # checkpoint labels come from the training loop's resolved config
+    # (RLTotalSteps may have been overridden via --set), so derive the
+    # final label from cfg, not the raw --rl-steps argument
+    updates = int(cfg.RLTotalSteps) // (cfg.ppoNumSteps * cfg.RLNumEnvs)
     final_ckpt = os.path.join(args.work, "rl_model", "%.5i" % (updates - 1))
     if "rl" in stages:
         t0 = time.time()
@@ -283,11 +288,20 @@ def main():
         rows = run_curve(args.env, args.work,
                          episodes_per_class=args.select_best_per_class,
                          envs=args.device_eval_envs,
-                         every=args.select_best_every)
+                         every=args.select_best_every,
+                         extra_set=args.set_items)
         best = select_best(rows)
+        # materialize the selection: rl_model/best points at the chosen
+        # checkpoint so downstream consumers load the shipped artifact,
+        # not merely read its name from best_checkpoint.json
+        best_link = os.path.join(args.work, "rl_model", "best")
+        if os.path.islink(best_link):
+            os.unlink(best_link)
+        os.symlink(best["checkpoint"], best_link)
         sel = {
             "best_checkpoint": os.path.join(
                 args.work, "rl_model", best["checkpoint"]),
+            "shipped_as": best_link,
             "best_success_rate": best["success_rate"],
             "best_ci95": best["ci95"],
             "best_env_steps": best["env_steps"],

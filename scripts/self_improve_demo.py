@@ -110,6 +110,14 @@ def main():
     ap.add_argument("--ent-coef", type=float, default=0.02)
     ap.add_argument("--eval-per-class", type=int, default=16)
     ap.add_argument("--eval-envs", type=int, default=8)
+    ap.add_argument("--var-mode", default="finetune",
+                    choices=["finetune", "scratch"],
+                    help="step-2 recipe per round: 'finetune' = reference "
+                         "frozen-association VARFineTuneDataset fine-tune; "
+                         "'scratch' = from-scratch VARDataset retrain over "
+                         "all accumulated shards (round-3 finding: the "
+                         "frozen association caps arm SI at ~0.7-0.8 vs "
+                         "~0.89 from scratch)")
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the reward-landscape probes recorded after "
                          "each eval stage")
@@ -206,9 +214,11 @@ def main():
             t0 = time.time()
             self_improve(cfg, rounds=1, env=args.env,
                          pretext_epochs=args.ft_var_epochs,
-                         rl_steps=args.ft_rl_steps)
+                         rl_steps=args.ft_rl_steps,
+                         var_mode=args.var_mode)
             round_rec = {
                 "round": r + 1,
+                "var_mode": args.var_mode,
                 "collect_per_class": args.improve_per_class,
                 "ft_var_epochs": args.ft_var_epochs,
                 "ft_rl_steps": args.ft_rl_steps,

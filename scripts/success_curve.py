@@ -52,18 +52,22 @@ def select_best(rows):
 
 
 def run_curve(env, work, episodes_per_class=128, envs=64, every=1,
-              out_csv=None):
+              out_csv=None, extra_set=None):
     """Sweep every (k-th) checkpoint of a finished run with the
     device-resident evaluator; returns the list of per-checkpoint rows
     and writes them as CSV. The run's own config snapshot drives net
-    shapes and the episode protocol (see the snapshot note below)."""
+    shapes and the episode protocol (see the snapshot note below);
+    extra_set carries the invoking run's --set overrides so sweep-time
+    config matches train-time config for knobs outside the snapshot
+    whitelist."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from var_tpu.train.rl import RLTrainer
 
-    cfg = build_config(env, work, rl_steps=1, eval_per_class=1)
+    cfg = build_config(env, work, rl_steps=1, eval_per_class=1,
+                       extra_set=extra_set)
     cfg.override(RLTrain=False)
 
     rl_dir = os.path.join(work, "rl_model")

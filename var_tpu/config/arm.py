@@ -54,6 +54,19 @@ class ArmConfig(ConfigBase):
         self.pretextLRDecayGamma = 0.2
         self.representationDim = 3
         self.tripletMargin = 1.0
+        # collection-time triplet quality knobs (defaults = reference
+        # semantics: uniform negatives, random-walk poses). Hard
+        # negatives pick the spatially-nearest wrong class with this
+        # probability (arm_sim._hard_negative_class); coverage
+        # collection teleports the gripper instead of random-walking,
+        # concentrating pretextBoundaryFrac of poses in a band of
+        # pretextBoundaryBand metres around object hitboxes — the
+        # region that decides whether the VAR reward peak falls inside
+        # the ray-test success box (fourInARow.py:317-335).
+        self.pretextHardNegProb = 0.0
+        self.pretextCoverageCollect = False
+        self.pretextBoundaryFrac = 0.5
+        self.pretextBoundaryBand = 0.03
         self.plotRepresentation = 50
         self.plotNumBatch = 10
         self.annotateLastBatch = False

@@ -150,11 +150,37 @@ class FourInARowSim(Env):
         self.ee[1] = np.clip(self.ee[1], c.yMin, c.yMax)
 
     def _apply_action_pretext(self, action):
-        """Random-walk data collection (robot_manipulators.py:59-86)."""
+        """Random-walk data collection (robot_manipulators.py:59-86).
+
+        With config.pretextCoverageCollect, the walk is replaced by
+        deliberate pose sampling (legitimate in simulation — the
+        reference random-walks because a real arm must move
+        continuously): with probability pretextBoundaryFrac the pose
+        lands in a band around a random object's ray-test hitbox (the
+        region where the VAR reward landscape is decided), otherwise
+        uniformly over the workspace. Defaults keep reference semantics.
+        """
         c = self.config
-        dx = self.np_random.uniform(-0.3, 0.3)
-        dy = self.np_random.uniform(-0.4, 0.4)
-        self.ee = self.ee + np.array([dx, dy])
+        if getattr(c, "pretextCoverageCollect", False):
+            band = getattr(c, "pretextBoundaryBand", 0.03)
+            if self.np_random.uniform() < getattr(
+                    c, "pretextBoundaryFrac", 0.5):
+                obj = self.objPose[self.np_random.randint(len(self.objList))]
+                self.ee = obj + np.array([
+                    self.np_random.uniform(-(OBJ_HALF_X + band),
+                                           OBJ_HALF_X + band),
+                    self.np_random.uniform(-(OBJ_HALF_Y + band),
+                                           OBJ_HALF_Y + band),
+                ])
+            else:
+                self.ee = np.array([
+                    self.np_random.uniform(c.xMin, c.xMax),
+                    self.np_random.uniform(c.yMin, c.yMax),
+                ])
+        else:
+            dx = self.np_random.uniform(-0.3, 0.3)
+            dy = self.np_random.uniform(-0.4, 0.4)
+            self.ee = self.ee + np.array([dx, dy])
         self.ee[0] = np.clip(self.ee[0], c.xMin, c.xMax)
         self.ee[1] = np.clip(self.ee[1], c.yMin, c.yMax)
 
@@ -193,18 +219,43 @@ class FourInARowSim(Env):
 
     # -- sounds / labeling ---------------------------------------------------
 
+    def _hard_negative_class(self, hit: int) -> int:
+        """Spatially-hardest negative class for the current gripper pose.
+
+        Empty views: the class of the NEAREST object — pushing
+        just-outside-the-hitbox views away from that object's sound is
+        what pulls the VAR reward peak inside the ray-test box (the
+        round-3 probe failure mode: peaks saturating on a plateau wider
+        than the box). On-object views: the class of the nearest OTHER
+        object (the adjacent slot in the row), sharpening the
+        between-object decision boundary."""
+        d = np.linalg.norm(self.objPose - self.ee[None, :], axis=1)
+        if hit >= 0:
+            d[hit] = np.inf
+        return self.objOrder[int(np.argmin(d))]
+
     def get_positive_negative(self, get_negative=True, generate_audio=True):
-        """Label the current view by ray test (fourInARow.py:172-209)."""
+        """Label the current view by ray test (fourInARow.py:172-209).
+
+        With config.pretextHardNegProb > 0, the negative class is the
+        spatially-hardest one (see _hard_negative_class) with that
+        probability instead of the reference's uniform draw — a
+        collection-time extension; default 0.0 keeps reference semantics.
+        """
         c = self.config
         hit = self.ray_test()
         sound_positive = sound_negative = None
         intent_negative = None
+        hard_p = getattr(c, "pretextHardNegProb", 0.0)
         if hit < 0:
             intent_positive = c.taskNum  # empty
             if generate_audio:
                 sound_positive = np.zeros(shape=c.sound_dim, dtype=np.float32)
             if get_negative:
-                intent_negative = self.np_random.randint(0, c.taskNum)
+                if hard_p > 0 and self.np_random.uniform() < hard_p:
+                    intent_negative = self._hard_negative_class(hit)
+                else:
+                    intent_negative = self.np_random.randint(0, c.taskNum)
                 if generate_audio:
                     sound_negative, _ = self.audio.genSoundFeat(
                         intentIdx=intent_negative, featType="MFCC",
@@ -216,7 +267,10 @@ class FourInARowSim(Env):
                     intentIdx=intent_positive, featType="MFCC",
                     rand_fn=self.np_random.randint)
             if get_negative:
-                intent_negative = self.np_random.randint(0, c.taskNum)
+                if hard_p > 0 and self.np_random.uniform() < hard_p:
+                    intent_negative = self._hard_negative_class(hit)
+                else:
+                    intent_negative = self.np_random.randint(0, c.taskNum)
                 if intent_positive == intent_negative:
                     intent_negative = c.taskNum
                     if generate_audio:

@@ -80,6 +80,17 @@ class PPO:
     def init_state(self, params) -> PPOState:
         return PPOState(params, self.tx.init(params), jnp.asarray(0, jnp.int32))
 
+    def cost_report(self, state: PPOState, batch, update_seconds):
+        """XLA cost analysis of the whole-update program (ppo_epoch x
+        minibatches fused into one jit): FLOPs/update + MFU at the
+        measured update wall time (VERDICT r3 item 2)."""
+        from var_tpu.utils.flops import program_report
+
+        T, N = batch["returns"].shape
+        return program_report(
+            type(self).update, (self, state, batch, jax.random.PRNGKey(0)),
+            update_seconds, items_per_call=T * N)
+
     def _minibatch_loss(self, params, obs_flat, rnn_hx, masks_flat,
                         actions_flat, value_preds, returns, old_log_probs,
                         adv, seq_len):

