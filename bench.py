@@ -146,7 +146,46 @@ def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 96):
             state, loss = trainer._train_step_wav(state, *dev)
         loss.block_until_ready()
         streaming_tps = BATCH * S2 / (time.perf_counter() - t0)
-    return resident_tps, streaming_tps, pretext_cost
+
+    # Chunked device-residency (the >HBM path, VERDICT r4 item 4): a
+    # synthetic dataset well beyond the per-chunk budget, trained via
+    # _run_epoch_chunked — globally-shuffled image chunks uploaded as
+    # single large transfers double-buffered against the epoch scan.
+    # Chunk size is forced small (64 MB) so the mechanism (gather +
+    # upload + swap) is exercised many times; real deployments would use
+    # multi-GB chunks and amortize even better.
+    chunked_tps = None
+    try:
+        from var_tpu.data.triplets import TripletDataset
+
+        n_items = 16384  # ~450 MB of images: 7 chunks at 64 MB
+        rng4 = np.random.RandomState(7)
+        ds = TripletDataset.__new__(TripletDataset)
+        ds.config = cfg
+        ds.audio = audio
+        ds.rng = np.random.RandomState(8)
+        ds.images = rng4.randint(
+            0, 255, size=(n_items, 3, 96, 96), dtype=np.uint8)
+        ds.gts = rng4.randint(0, cfg.taskNum + 1, size=n_items).astype(np.int32)
+        ds.sn_ids = rng4.randint(0, cfg.taskNum + 1, size=n_items).astype(np.int32)
+        ds._sn_random = np.zeros(n_items, bool)
+        ds.pos_feats = ds.neg_feats = None
+        ds.has_sound = False
+        ds._frozen_seed = 1
+        trainer.state = state
+        bank2 = {
+            "chunked": True,
+            "wav": d_wav, "len": d_len, "ranges": ranges,
+            "chunk_bytes": 64 * 2 ** 20,
+        }
+        trainer._run_epoch_chunked(ds, bank2, BATCH, epoch=0)  # compile
+        t0 = time.perf_counter()
+        _, n_done = trainer._run_epoch_chunked(ds, bank2, BATCH, epoch=1)
+        chunked_tps = n_done / (time.perf_counter() - t0)
+        state = trainer.state
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"# chunked bench failed: {e}", file=sys.stderr)
+    return resident_tps, streaming_tps, chunked_tps, pretext_cost
 
 
 def bench_torch_cpu(cfg, audio, batches, iters: int = 2):
@@ -315,9 +354,12 @@ def main():
 
     enable_persistent_cache()
     cfg, audio, batches = _make_batches(4)
-    tpu_tps, stream_tps, pretext_cost = bench_tpu(cfg, audio, batches)
+    tpu_tps, stream_tps, chunked_tps, pretext_cost = bench_tpu(
+        cfg, audio, batches)
     print(f"# tpu: {tpu_tps:.1f} triplets/s (device-resident), "
-          f"{stream_tps:.1f} (streaming double-buffered)", file=sys.stderr)
+          f"{stream_tps:.1f} (streaming double-buffered), "
+          f"{chunked_tps and round(chunked_tps, 1)} (chunked >HBM)",
+          file=sys.stderr)
     try:
         cpu_tps = bench_torch_cpu(cfg, audio, batches)
         print(f"# torch-cpu baseline: {cpu_tps:.1f} triplets/s", file=sys.stderr)
@@ -332,6 +374,7 @@ def main():
         "unit": "triplets/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "streaming_mode": round(stream_tps, 1),
+        "chunked_mode": round(chunked_tps, 1) if chunked_tps else None,
         "cost": pretext_cost,
         "rl": rl,
     }))

@@ -101,6 +101,7 @@ def main():
     ap.add_argument("--var-epochs", type=int, default=40)
     ap.add_argument("--layouts", type=int, default=8)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--preset", default=None, choices=[None, "focused"])
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts", "var_sweep.json"))
@@ -121,8 +122,22 @@ def main():
         {"tripletMargin": 0.5, "representationDim": 8},
     ]
     if args.quick:
-        collect_variants = {k: collect_variants[k] for k in ("ref", "covhard")}
+        collect_variants = {k: collect_variants[k] for k in ("ref", "covhard3")}
         train_variants = train_variants[:2]
+    if args.preset == "focused":
+        # confirmation sweep around the 800/class winner (covhard7 D8):
+        # E2E-scale data, margin/dim/hardness neighborhood, tighter CI
+        collect_variants = {
+            "ch7": {"pretextCoverageCollect": True,
+                    "pretextHardNegProb": 0.7},
+            "ch9": {"pretextCoverageCollect": True,
+                    "pretextHardNegProb": 0.9},
+        }
+        train_variants = [
+            {"tripletMargin": 1.0, "representationDim": 8},
+            {"tripletMargin": 2.0, "representationDim": 8},
+            {"tripletMargin": 1.0, "representationDim": 16},
+        ]
 
     results = []
     for cname, cknobs in collect_variants.items():

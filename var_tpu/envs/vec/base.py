@@ -119,3 +119,19 @@ def stack_obs(obs_list, observation_space) -> "OrderedDict[str, np.ndarray]":
             [np.asarray(o[key]).reshape(space.shape) for o in obs_list]
         ).astype(space.dtype)
     return out
+
+
+class VecEnvObservationWrapper(VecEnvWrapper):
+    """Wrapper that transforms only observations via `process()`
+    (reference: vec_env.py:155-190). Subclasses override process();
+    reset/step_wait route every obs batch through it."""
+
+    def process(self, obs):
+        raise NotImplementedError
+
+    def reset(self):
+        return self.process(self.venv.reset())
+
+    def step_wait(self):
+        obs, rews, news, infos = self.venv.step_wait()
+        return self.process(obs), rews, news, infos

@@ -12,7 +12,7 @@ import numpy as np
 
 from var_tpu.ops.running_stats import RunningMeanStd, rms_update
 
-from .base import VecEnvWrapper
+from .base import VecEnvObservationWrapper, VecEnvWrapper
 
 
 class VecNormalize(VecEnvWrapper):
@@ -85,21 +85,19 @@ class VecFrameStack(VecEnvWrapper):
         return self.stacked.copy()
 
 
-class VecExtractDictObs(VecEnvWrapper):
+class VecExtractDictObs(VecEnvObservationWrapper):
     """Select one key of a dict observation space
-    (reference: vec_extract_dict_obs.py)."""
+    (reference: vec_extract_dict_obs.py, built on the
+    VecEnvObservationWrapper seam exactly as the reference's is,
+    vec_env.py:155-190)."""
 
     def __init__(self, venv, key: str):
         super().__init__(
             venv, observation_space=venv.observation_space.spaces[key])
         self.key = key
 
-    def reset(self):
-        return self.venv.reset()[self.key]
-
-    def step_wait(self):
-        obs, rews, news, infos = self.venv.step_wait()
-        return obs[self.key], rews, news, infos
+    def process(self, obs):
+        return obs[self.key]
 
 
 def tile_images(img_nhwc) -> np.ndarray:

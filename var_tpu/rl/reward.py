@@ -22,6 +22,15 @@ self.cached_goal_feat; fresh rows are re-encoded. The sound encoder is
 skipped entirely on steps where every row is cached (the common case —
 all envs emit the sentinel after step 0), decided host-side so both jit
 variants stay compiled.
+
+STATUS: compatibility fallback. This wrapper preserves the reference's
+per-step host<->device round trip, which on a tunneled chip costs ~50 ms
+p50 (BENCH r3) against a ~5 ms budget at the reference's 8-env scale.
+Production training uses the fused engines instead — rl/rollout_device.py
+(one program per step, one readback) and rl/device_sim.py (whole rollout
+on device) — selected via fusedRollout/RLDeviceSimRollout (default on);
+this path remains for host sims that need the exact wrapper protocol and
+as the semantics reference the fused engines are parity-tested against.
 """
 from __future__ import annotations
 
