@@ -244,3 +244,26 @@ def test_multibinary_bernoulli_head():
     m = mode(dist)
     assert m.shape == (3, 4)
     assert np.isfinite(float(jnp.mean(entropy(dist))))
+
+
+def test_observation_wrapper_seam():
+    """VecEnvObservationWrapper routes every obs batch through process()
+    (reference: vec_env.py:155-190) — reset AND step_wait."""
+    from var_tpu.envs.vec.base import VecEnvObservationWrapper
+
+    class Doubler(VecEnvObservationWrapper):
+        def process(self, obs):
+            return {k: v * 2 for k, v in obs.items()}
+
+    plain = _venv()
+    wrapped = Doubler(_venv())
+    o_plain = plain.reset()
+    o_wrap = wrapped.reset()
+    for k in o_plain:
+        np.testing.assert_allclose(o_wrap[k], o_plain[k] * 2)
+    rng = np.random.RandomState(0)
+    a = [plain.action_space.sample(rng) for _ in range(plain.num_envs)]
+    (op, *_), (ow, *_) = plain.step(a), wrapped.step(a)
+    for k in op:
+        np.testing.assert_allclose(ow[k], op[k] * 2)
+    plain.close(), wrapped.close()
