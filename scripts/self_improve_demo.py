@@ -46,7 +46,8 @@ def run_eval(args, var_ckpt, rl_ckpt):
 
     cfg = e2e_run.build_config(
         args.env, args.work, rl_steps=0, eval_per_class=args.eval_per_class,
-        num_envs=args.num_envs, device_sim=True)
+        num_envs=args.num_envs, device_sim=True,
+        extra_set=args.set_items)
     cfg.override(RLTrain=False, vecEnvBackend="dummy")
     per_env = max(1, args.eval_per_class // args.eval_envs)
     e2e_run.scale_eval_quotas(cfg, per_env)
@@ -65,7 +66,11 @@ def run_probe(args, var_ckpt):
     from var_tpu.config import gym_register, main_config
     from var_tpu.train.pretext import PretextTrainer
 
+    from var_tpu.cli import parse_set_items
+
     cfg = main_config(env=args.env)
+    if args.set_items:
+        cfg.override(**parse_set_items(args.set_items))
     cfg.override(pretextModelLoadDir=var_ckpt, RLTrain=True)
     gym_register(cfg, env=args.env)
     pt = PretextTrainer(cfg)
@@ -118,6 +123,13 @@ def main():
                          "all accumulated shards (round-3 finding: the "
                          "frozen association caps arm SI at ~0.7-0.8 vs "
                          "~0.89 from scratch)")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KNOB=VALUE",
+                    dest="set_items",
+                    help="extra config overrides applied to every stage "
+                         "(collect, VAR train, policy train, eval, probe) "
+                         "-- e.g. the round-4 arm recipe: --set "
+                         "representationDim=8 pretextCoverageCollect=True "
+                         "pretextHardNegProb=0.7")
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the reward-landscape probes recorded after "
                          "each eval stage")
@@ -169,7 +181,8 @@ def main():
             args.env, args.work, args.weak_rl_steps, args.eval_per_class,
             rl_lr=args.rl_lr, num_envs=args.num_envs,
             ent_coef=args.ent_coef, collect_per_class=args.weak_per_class,
-            var_epochs=args.weak_var_epochs, device_sim=True)
+            var_epochs=args.weak_var_epochs, device_sim=True,
+            extra_set=args.set_items)
         pretext = PretextTrainer(cfg)
         pretext.collectPretextData()
         pretext.trainRepresentation()
@@ -203,7 +216,8 @@ def main():
             rl_lr=args.rl_lr, num_envs=args.num_envs,
             ent_coef=args.ent_coef,
             collect_per_class=args.improve_per_class,
-            var_epochs=args.weak_var_epochs, device_sim=True)
+            var_epochs=args.weak_var_epochs, device_sim=True,
+            extra_set=args.set_items)
         # build_config points pretextModelLoadDir at the weak VAR's last
         # epoch — exactly the checkpoint round 1's fine-tune must start
         # from; self_improve() itself advances it to the newly fine-tuned
