@@ -76,19 +76,26 @@ def run_probe(args, var_ckpt):
     pt = PretextTrainer(cfg)
     pt.loadPretextModel()
     params = pt.variables["params"]
+    # round-3 lesson (VERDICT weak #2): n_layouts=2/3 gave 8-12 binary
+    # samples per probe — the "probe falls while success rises" SI-grid
+    # anomaly was 5/8 vs 3/8, i.e. sampling noise. Probe with >=8
+    # layouts so the probe can actually corroborate (or contradict) the
+    # eval trend.
     if args.env == "arms":
         import var_probe
 
         rate, mean_off = var_probe.probe_2d(cfg, pt.model, params,
-                                            n_layouts=3, verbose=False)
+                                            n_layouts=8, verbose=False)
         return {"peak_in_hitbox": round(rate, 3),
-                "mean_peak_offset_cm": round(mean_off * 100, 1)}
+                "mean_peak_offset_cm": round(mean_off * 100, 1),
+                "n_samples": 8 * cfg.taskNum}
     import grid_probe
 
-    pk, ca = grid_probe.probe(cfg, pt.model, params, n_layouts=2,
+    pk, ca = grid_probe.probe(cfg, pt.model, params, n_layouts=8,
                               verbose=False)
     return {"peak_accuracy": round(pk, 3),
-            "on_object_class_accuracy": round(ca, 3)}
+            "on_object_class_accuracy": round(ca, 3),
+            "n_samples": 8 * cfg.taskNum}
 
 
 def main():
