@@ -167,10 +167,13 @@ def main():
         with open(args.out, "w") as f:
             json.dump(doc, f, indent=2)
 
+    var_step = ("VARFineTuneDataset fine-tune" if args.var_mode == "finetune"
+                else "from-scratch VARDataset retrain over accumulated shards")
     result = {
         "pipeline": "weak VAR -> PPO -> eval, then self_improve() rounds "
-                    "(collect -> VARFineTuneDataset fine-tune -> policy "
+                    f"(collect -> {var_step} -> policy "
                     "fine-tune, full-state resume) -> eval after each",
+        "var_mode": args.var_mode,
         "weak": {"collect_per_class": args.weak_per_class,
                  "var_epochs": args.weak_var_epochs,
                  "rl_steps": args.weak_rl_steps},
