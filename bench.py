@@ -88,17 +88,22 @@ def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 96):
                 jnp.asarray(neg_zero.reshape(sh)))
 
     S = 32  # steps per scanned epoch program
-    # warmup/compile
+    # warmup/compile. Timing note: on the tunneled backend
+    # block_until_ready returns WITHOUT waiting (ROADMAP known issue) —
+    # round-3's 3.36M triplets/s headline was dispatch-only because of
+    # exactly this. Every timed region below ends in np.asarray, which
+    # cannot lie: it performs the real device->host readback of a value
+    # data-dependent on the whole chained computation.
     state, losses = trainer._train_epoch_scan(
         state, d_img, d_wav, d_len, *epoch_indices(S))
-    losses.block_until_ready()
+    float(np.asarray(losses)[-1])
 
     t0 = time.perf_counter()
     epochs = max(1, iters // S)
     for _ in range(epochs):
         state, losses = trainer._train_epoch_scan(
             state, d_img, d_wav, d_len, *epoch_indices(S))
-    losses.block_until_ready()
+    float(np.asarray(losses)[-1])  # real sync
     dt = time.perf_counter() - t0
     resident_tps = BATCH * S * epochs / dt
 
@@ -135,7 +140,7 @@ def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 96):
         return tuple(jax.device_put(a) for a in host_batch())
 
     state, loss = trainer._train_step_wav(state, *produce())  # compile
-    loss.block_until_ready()
+    float(np.asarray(loss))
     S2 = 16
     with cf.ThreadPoolExecutor(max_workers=1) as ex:
         t0 = time.perf_counter()
@@ -144,7 +149,7 @@ def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 96):
             dev = fut.result()
             fut = ex.submit(produce)
             state, loss = trainer._train_step_wav(state, *dev)
-        loss.block_until_ready()
+        float(np.asarray(loss))  # real sync
         streaming_tps = BATCH * S2 / (time.perf_counter() - t0)
 
     # Chunked device-residency (the >HBM path, VERDICT r4 item 4): a

@@ -99,7 +99,8 @@ def bench_ours_both(updates: int = 1):
         state, metrics = ppo.update(state, eng.device_batch(), sub)
         eng.set_policy_params(state.params)
         eng.after_update()
-        jax.block_until_ready(metrics)
+        # real sync (tunnel block_until_ready returns early, ROADMAP)
+        float(np.asarray(metrics["value_loss"]))
         return action, key
 
     # warmup one full update (compiles everything; both modes share it)
@@ -131,7 +132,9 @@ def bench_ours_both(updates: int = 1):
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
             state, metrics = ppo.update(state, batch, sub)
-            jax.block_until_ready(metrics)
+            # np.asarray, not block_until_ready: the tunneled backend's
+            # block_until_ready returns without waiting (ROADMAP)
+            float(np.asarray(metrics["value_loss"]))
             upd_s.append(time.perf_counter() - t0)
         costs["ppo_update"] = ppo.cost_report(
             state, batch, float(np.median(upd_s)))
@@ -466,7 +469,7 @@ def bench_device_sim(n_envs: int = 64, t_steps: int = 100,
     try:
         k1, _, key = jax.random.split(key, 3)
         rms2, batch, _ = eng.collect(rms, state.params, k1)
-        jax.block_until_ready(batch["returns"])
+        float(np.asarray(batch["returns"][0, 0]))  # real sync
         t0 = time.perf_counter()
         rms2, batch, _ = eng.collect(rms, state.params, k1)
         float(np.asarray(batch["returns"][0, 0]))

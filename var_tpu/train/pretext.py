@@ -549,15 +549,20 @@ class PretextTrainer:
     def _run_epoch_chunked(self, ds, bank, batch_size: int, epoch: int):
         """One epoch over a larger-than-HBM dataset via chunked residency.
 
-        The epoch order is globally shuffled, then split into fixed-size
-        chunks (so chunk membership is a fresh random subset every epoch
-        — statistically identical to the resident path's global
-        shuffle). Each chunk's images are gathered on the host and
-        uploaded as ONE large transfer while the previous chunk's epoch
-        scan executes on device (double buffering); the packed clip bank
-        stays resident, so sounds still travel as int32 indices. The
-        final chunk wraps around the order exactly like the resident
-        path's ragged-batch padding."""
+        Items live in FIXED contiguous slabs of the image array, so each
+        chunk uploads as one zero-gather contiguous transfer (a random
+        host gather measured 10-40x slower than the upload itself —
+        round-4 bench). Shuffling happens in two layers: the global epoch
+        order (ds.epoch_order) is restricted to each slab — preserving
+        the resident path's RNG semantics exactly (a single slab
+        reproduces the resident losses bit-for-bit, tested) — and the
+        resulting within-slab visit order drives DEVICE-side gathers via
+        int32 indices. Deviation from true global shuffle: an item stays
+        in its slab across epochs, so batches mix within one slab at a
+        time (standard chunked-shuffle approximation for >RAM/HBM data).
+        Chunk k+1's upload overlaps chunk k's epoch scan (double
+        buffering); the packed clip bank stays resident throughout. The
+        last ragged slab wraps within itself to keep shapes static."""
         from concurrent.futures import ThreadPoolExecutor
 
         item_bytes = int(ds.images[0].nbytes)
@@ -569,30 +574,41 @@ class PretextTrainer:
         pos_ids, pos_zero, neg_ids, neg_zero = ds.epoch_clip_ids(
             bank["ranges"], epoch)
 
-        total = -(-n // chunk_items) * chunk_items
-        reps = -(-total // n)
-        chunks = np.tile(order, reps)[:total].reshape(-1, chunk_items)
+        n_chunks = -(-n // chunk_items)
+        slab_of = order // chunk_items  # (n,) slab id per visit, in order
         S = chunk_items // batch_size
         sh = (S, batch_size)
-        arange_idx = jnp.asarray(
-            np.arange(chunk_items, dtype=np.int32).reshape(sh))
         unroll = jax.default_backend() == "cpu"
 
         def produce(ci):
-            idx = chunks[ci]
-            return (jnp.asarray(np.ascontiguousarray(ds.images[idx])),
-                    jnp.asarray(pos_ids[idx].reshape(sh)),
-                    jnp.asarray(pos_zero[idx].reshape(sh)),
-                    jnp.asarray(neg_ids[idx].reshape(sh)),
-                    jnp.asarray(neg_zero[idx].reshape(sh)))
+            a = ci * chunk_items
+            b = min(a + chunk_items, n)
+            img = ds.images[a:b]  # contiguous view — no host gather
+            if b - a < chunk_items:  # ragged final slab: pad by wrapping
+                reps = -(-chunk_items // (b - a))
+                img = np.concatenate([img] * reps)[:chunk_items]
+            # within-slab visit order = global epoch order restricted to
+            # this slab (single slab => exactly the resident order)
+            visit = order[slab_of == ci]
+            if len(visit) < chunk_items:
+                reps = -(-chunk_items // max(1, len(visit)))
+                visit = np.tile(visit, reps)[:chunk_items]
+            local = (visit - a).astype(np.int32)
+            local %= (b - a)  # wrapped pad rows map into the real slab
+            return (jnp.asarray(np.ascontiguousarray(img)),
+                    jnp.asarray(local.reshape(sh)),
+                    jnp.asarray(pos_ids[visit].reshape(sh)),
+                    jnp.asarray(pos_zero[visit].reshape(sh)),
+                    jnp.asarray(neg_ids[visit].reshape(sh)),
+                    jnp.asarray(neg_zero[visit].reshape(sh)))
 
         losses_all = []
         with ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="chunk-upload") as ex:
             fut = ex.submit(produce, 0)
-            for ci in range(len(chunks)):
-                d_img, p_i, p_z, n_i, n_z = fut.result()
-                if ci + 1 < len(chunks):
+            for ci in range(n_chunks):
+                d_img, l_i, p_i, p_z, n_i, n_z = fut.result()
+                if ci + 1 < n_chunks:
                     fut = ex.submit(produce, ci + 1)
                 if unroll:
                     # XLA:CPU pathology with scan(grad(scan)) — see
@@ -600,12 +616,12 @@ class PretextTrainer:
                     for s in range(S):
                         self.state, loss = self._train_step_indexed(
                             self.state, d_img, bank["wav"], bank["len"],
-                            arange_idx[s], p_i[s], p_z[s], n_i[s], n_z[s])
+                            l_i[s], p_i[s], p_z[s], n_i[s], n_z[s])
                         losses_all.append(float(loss))
                 else:
                     self.state, losses = self._train_epoch_scan(
                         self.state, d_img, bank["wav"], bank["len"],
-                        arange_idx, p_i, p_z, n_i, n_z)
+                        l_i, p_i, p_z, n_i, n_z)
                     losses_all.append(losses)
         if unroll:
             return losses_all, n
