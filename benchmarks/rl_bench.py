@@ -468,12 +468,16 @@ def bench_device_sim(n_envs: int = 64, t_steps: int = 100,
     cost = None
     try:
         k1, _, key = jax.random.split(key, 3)
+        # _collect donates its rms argument (donate_argnums=1): on
+        # donation-honoring backends (real TPU) the input buffer is dead
+        # after the call, so each call must consume the PREVIOUS call's
+        # output state, never a donated one.
         rms2, batch, _ = eng.collect(rms, state.params, k1)
         float(np.asarray(batch["returns"][0, 0]))  # real sync
         t0 = time.perf_counter()
-        rms2, batch, _ = eng.collect(rms, state.params, k1)
+        rms3, batch, _ = eng.collect(rms2, state.params, k1)
         float(np.asarray(batch["returns"][0, 0]))
-        cost = eng.cost_report(rms, state.params,
+        cost = eng.cost_report(rms3, state.params,
                                time.perf_counter() - t0)
     except Exception as e:  # pragma: no cover - cost model optional
         print(f"# device-sim cost analysis failed: {e}", file=sys.stderr)

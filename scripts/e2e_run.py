@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -295,9 +296,18 @@ def main():
         # checkpoint so downstream consumers load the shipped artifact,
         # not merely read its name from best_checkpoint.json
         best_link = os.path.join(args.work, "rl_model", "best")
-        if os.path.islink(best_link):
-            os.unlink(best_link)
-        os.symlink(best["checkpoint"], best_link)
+        # a stale 'best' may exist as a symlink, file, or directory; any
+        # of them would make os.symlink raise after the expensive sweep
+        if os.path.lexists(best_link):
+            if os.path.isdir(best_link) and not os.path.islink(best_link):
+                shutil.rmtree(best_link)
+            else:
+                os.unlink(best_link)
+        try:
+            os.symlink(best["checkpoint"], best_link)
+        except OSError as e:
+            print(f"# best symlink failed ({e}); selection recorded in "
+                  "best_checkpoint.json regardless", file=sys.stderr)
         sel = {
             "best_checkpoint": os.path.join(
                 args.work, "rl_model", best["checkpoint"]),

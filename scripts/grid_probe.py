@@ -21,7 +21,7 @@ import numpy as np  # noqa: E402
 
 
 def probe(cfg, model, params, n_layouts=3, seed=11, verbose=True,
-          max_cells=40):
+          max_cells=40, return_per_class=False):
     """Returns (peak_accuracy, argmax_class_accuracy):
     - peak_accuracy: fraction of (layout, class) pairs where the
       highest-reward pose in the sweep is labeled with the commanded
@@ -49,6 +49,9 @@ def probe(cfg, model, params, n_layouts=3, seed=11, verbose=True,
 
     rots = np.arange(0, 360, cfg.rotateStepDegrees, dtype=np.float64)
     peak_hits, cls_hits, cls_total, n_pairs = 0, 0, 0, 0
+    # per-class breakdown (round-5: locate the Television/off drag)
+    pc_peak = np.zeros((cfg.taskNum, 2), np.int64)   # hits, totals
+    pc_cls = np.zeros((cfg.taskNum, 2), np.int64)
     scenes = cfg.allScene[env.taskList[0].loc]
     for li in range(n_layouts):
         env.floor_plan = int(scenes[li % len(scenes)])
@@ -90,18 +93,39 @@ def probe(cfg, model, params, n_layouts=3, seed=11, verbose=True,
                 {"params": params}, imgs, method=model.encode_image)[1])
             R = img_feat @ feats.T  # (P, taskNum)
             n_pairs += 1
-            peak_hits += int(labels[int(np.argmax(R[:, cls]))] == cls)
+            hit = int(labels[int(np.argmax(R[:, cls]))] == cls)
+            peak_hits += hit
+            pc_peak[cls] += (hit, 1)
             on_obj = labels < cfg.taskNum
             if on_obj.any():
                 cls_hits += int(np.sum(
                     np.argmax(R[on_obj], axis=1) == labels[on_obj]))
                 cls_total += int(np.sum(on_obj))
+                for c2 in range(cfg.taskNum):
+                    sel = labels == c2
+                    if sel.any():
+                        pc_cls[c2] += (int(np.sum(
+                            np.argmax(R[sel], axis=1) == c2)),
+                            int(np.sum(sel)))
     peak_acc = peak_hits / max(1, n_pairs)
     cls_acc = cls_hits / max(1, cls_total)
+    per_class = {
+        str(task): {
+            "peak": round(pc_peak[c, 0] / max(1, pc_peak[c, 1]), 3),
+            "cls_acc": round(pc_cls[c, 0] / max(1, pc_cls[c, 1]), 3),
+            "n_views": int(pc_cls[c, 1]),
+        }
+        for c, task in enumerate(env.taskList)
+    }
     if verbose:
         print(f"probe: peak_accuracy {peak_acc:.2f} ({peak_hits}/{n_pairs}), "
               f"on-object class accuracy {cls_acc:.2f} "
               f"({cls_hits}/{cls_total})")
+        for k, v in per_class.items():
+            print(f"  {k}: peak {v['peak']:.2f} cls_acc {v['cls_acc']:.2f} "
+                  f"({v['n_views']} views)")
+    if return_per_class:
+        return peak_acc, cls_acc, per_class
     return peak_acc, cls_acc
 
 

@@ -41,8 +41,47 @@ def run_eval(args, var_ckpt, rl_ckpt):
 
     A FRESH config per eval: scale_eval_quotas mutates soundSource sizes
     in place, which must not leak into later collect/fine-tune stages.
+
+    With --eval-backend device the device-resident evaluator
+    (RLDeviceSimEval, trajectory-parity-tested twin of the host success
+    rules) scores per-class forced batches instead — ~150x cheaper per
+    episode, enabling 1024-episode CIs and a per-class breakdown; returns
+    (rate, n_eps, extra_dict).
     """
     from var_tpu.train.rl import RLTrainer
+
+    if getattr(args, "eval_backend", "host") == "device":
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        cfg = e2e_run.build_config(
+            args.env, args.work, rl_steps=1, eval_per_class=1,
+            extra_set=args.set_items)
+        cfg.override(RLTrain=False, RLDeviceSimEval=True,
+                     pretextModelLoadDir=var_ckpt)
+        tr = RLTrainer(cfg, env=args.env)
+        tr.load_pretext()
+        eng = tr.device_eval_engine(args.eval_envs)
+        params = tr.load_policy_params(rl_ckpt)
+        rng = jax.random.PRNGKey(11)
+        per_class = []
+        batches = -(-args.eval_per_class // args.eval_envs)
+        for c in range(cfg.taskNum):
+            hits = tot = 0
+            for _ in range(batches):
+                rng, sub = jax.random.split(rng)
+                s, _, _ = eng.eval_batch(
+                    params, jnp.full((args.eval_envs,), c, jnp.int32), sub)
+                hits += int(np.sum(np.asarray(s)))
+                tot += args.eval_envs
+            per_class.append(hits / tot)
+        rate = float(np.mean(per_class))
+        n = batches * args.eval_envs * cfg.taskNum
+        return rate, n, {
+            "per_class": [round(r, 3) for r in per_class],
+            "ci95": round(e2e_run.binom_ci95(rate, n), 4),
+            "evaluator": "device-sim (RLDeviceSimEval twin)"}
 
     cfg = e2e_run.build_config(
         args.env, args.work, rl_steps=0, eval_per_class=args.eval_per_class,
@@ -56,7 +95,7 @@ def run_eval(args, var_ckpt, rl_ckpt):
     rl_eval = RLTrainer(cfg, env=args.env)
     rl_eval.load_pretext(path=var_ckpt)
     rate = rl_eval.testRL(policy_path=rl_ckpt, num_envs=args.eval_envs)
-    return rate, per_env * args.eval_envs * cfg.taskNum
+    return rate, per_env * args.eval_envs * cfg.taskNum, {}
 
 
 def run_probe(args, var_ckpt):
@@ -122,6 +161,12 @@ def main():
     ap.add_argument("--ent-coef", type=float, default=0.02)
     ap.add_argument("--eval-per-class", type=int, default=16)
     ap.add_argument("--eval-envs", type=int, default=8)
+    ap.add_argument("--eval-backend", default="host",
+                    choices=["host", "device"],
+                    help="'device' = RLDeviceSimEval per-class forced "
+                         "batches (~150x cheaper/episode, 1024-ep CIs + "
+                         "per-class breakdown); 'host' = the canonical "
+                         "testRL stack")
     ap.add_argument("--var-mode", default="finetune",
                     choices=["finetune", "scratch"],
                     help="step-2 recipe per round: 'finetune' = reference "
@@ -206,10 +251,10 @@ def main():
     if "weak_eval" in stages:
         t0 = time.time()
         ckpt = latest_checkpoint(os.path.join(args.work, "rl_model"))
-        rate, n_eps = run_eval(args, weak_var_ckpt, ckpt)
+        rate, n_eps, extra = run_eval(args, weak_var_ckpt, ckpt)
         timings["weak_eval_s"] = round(time.time() - t0, 1)
         result["weak"].update(success_rate=rate, eval_episodes=n_eps,
-                              checkpoint=ckpt)
+                              checkpoint=ckpt, **extra)
         print(f"WEAK baseline success: {rate:.3f} over {n_eps} episodes")
         if not args.no_probe:
             result["weak"]["reward_landscape_probe"] = run_probe(
@@ -252,10 +297,10 @@ def main():
                 t0 = time.time()
                 ckpt = latest_checkpoint(
                     os.path.join(args.work, "rl_model"))
-                rate, n_eps = run_eval(args, ft_var_ckpt, ckpt)
+                rate, n_eps, extra = run_eval(args, ft_var_ckpt, ckpt)
                 round_rec.update(success_rate=rate, eval_episodes=n_eps,
                                  checkpoint=ckpt,
-                                 eval_s=round(time.time() - t0, 1))
+                                 eval_s=round(time.time() - t0, 1), **extra)
                 print(f"ROUND {r + 1} success: {rate:.3f} over "
                       f"{n_eps} episodes")
                 if not args.no_probe:
@@ -270,9 +315,9 @@ def main():
         # standalone eval of whatever the work dir currently holds (e.g.
         # re-scoring after an out-of-band resume)
         ckpt = latest_checkpoint(os.path.join(args.work, "rl_model"))
-        rate, n_eps = run_eval(args, ft_var_ckpt, ckpt)
+        rate, n_eps, extra = run_eval(args, ft_var_ckpt, ckpt)
         rec = {"success_rate": rate, "eval_episodes": n_eps,
-               "checkpoint": ckpt}
+               "checkpoint": ckpt, **extra}
         if not args.no_probe:
             rec["reward_landscape_probe"] = run_probe(args, ft_var_ckpt)
         result["rounds"].append(rec)

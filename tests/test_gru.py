@@ -93,3 +93,48 @@ def test_bigru_final_matches_torch():
     golden = np.concatenate([hn[0].numpy(), hn[1].numpy()], axis=1)
     ours = np.asarray(bigru_final(fwd, bwd, jnp.asarray(xs)))
     np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_gru_long_sequence_drift_is_accumulation_order():
+    """The BASELINE.md parity amendment's evidence: at the CRNN's real
+    sequence length (600 steps, H=512-class widths scaled down) the f32
+    torch-vs-scan drift is accumulation-order noise, not a math bug — the
+    SAME weights and inputs in f64 agree to ~1e-12, far below the f32 gap.
+    This pins the ai2thor CRNN rtol=1e-3 relaxation (tests
+    test_torch_parity.py::test_ai2thor_var_torch_twin_embeddings_match) on
+    float32 reduction-order divergence between cuDNN-style torch GRU and
+    the lax.scan form."""
+    import jax
+    enable_x64 = jax.enable_x64
+
+    D, H, B, T = 32, 64, 2, 600
+    gru = _torch_gru(D, H, seed=5).double()
+    names = ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0")
+    w64 = [getattr(gru, n).detach().numpy() for n in names]
+    params32 = GRUParams(*[jnp.asarray(w.astype(np.float32)) for w in w64])
+    rng = np.random.RandomState(5)
+    xs = rng.randn(T, B, D)
+    h0 = np.zeros((B, H))
+
+    with torch.no_grad():
+        _, hn64 = gru(torch.from_numpy(xs), torch.from_numpy(h0)[None])
+        g32 = gru.float()
+        _, hn32 = g32(torch.from_numpy(xs.astype(np.float32)),
+                      torch.from_numpy(h0.astype(np.float32))[None])
+
+    with enable_x64():  # without x64, jnp silently downcasts f64 -> f32
+        params64 = GRUParams(*[jnp.asarray(w, dtype=jnp.float64)
+                               for w in w64])
+        _, hf64 = gru_scan(params64, jnp.asarray(xs, dtype=jnp.float64),
+                           jnp.asarray(h0, dtype=jnp.float64))
+        hf64 = np.asarray(hf64)
+    _, hf32 = gru_scan(params32, jnp.asarray(xs.astype(np.float32)),
+                       jnp.asarray(h0.astype(np.float32)))
+
+    drift64 = float(np.max(np.abs(hf64 - hn64[0].numpy())))
+    drift32 = float(np.max(np.abs(np.asarray(hf32) - hn32[0].numpy())))
+    # f64: both frameworks agree to near machine precision over 600 steps
+    assert drift64 < 1e-10, drift64
+    # f32: the drift exists (or is at least allowed for) and is what the
+    # relaxed CRNN tolerance absorbs; it must stay well inside that band
+    assert drift32 < 2e-4, drift32

@@ -266,3 +266,39 @@ def test_arm_coverage_collection_band(arm_cfg, arm_audio):
         # clipping to the workspace can push a pose off-band only at the
         # workspace edge; with default ranges the band stays inside
         assert in_band.any()
+
+
+def test_arm_end_flank_collection(arm_cfg, arm_audio):
+    """pretextEndFlankFrac teleports poses into the OUTWARD flank zone of
+    the row's end slots (round-5 class_3 fix); labeling semantics are
+    untouched (ray test + uniform negatives)."""
+    import copy
+
+    from var_tpu.envs.arm_sim import OBJ_HALF_X, OBJ_HALF_Y
+
+    cfg = copy.deepcopy(arm_cfg)
+    cfg.pretextEndFlankFrac = 1.0  # every pose in a flank
+    cfg.pretextEndFlankBand = 0.09
+    env = FourInARowPretextSim(cfg, arm_audio)
+    env.seed(2)
+    env.reset()
+    inv = {v: k for k, v in env.objOrder.items()}
+    lo = env.objPose[inv[0]]            # end slot at low y
+    hi = env.objPose[inv[cfg.taskNum - 1]]  # end slot at high y
+    outward_hits = 0
+    for _ in range(60):
+        env._apply_action_pretext(None)
+        d_lo = env.ee - lo
+        d_hi = env.ee - hi
+        near_lo = (abs(d_lo[0]) <= OBJ_HALF_X + 0.02 + 1e-9
+                   and -0.09 - 1e-9 <= d_lo[1] <= -(OBJ_HALF_Y - 0.01) + 1e-9)
+        near_hi = (abs(d_hi[0]) <= OBJ_HALF_X + 0.02 + 1e-9
+                   and (OBJ_HALF_Y - 0.01) - 1e-9 <= d_hi[1] <= 0.09 + 1e-9)
+        # workspace clipping can pull a pose back in-bounds at the edge;
+        # it must still be on the outward side of one end slot
+        assert near_lo or near_hi or env.ee[1] in (cfg.yMin, cfg.yMax)
+        outward_hits += int(near_lo or near_hi)
+        # mostly beyond the hitbox => labeled empty, never a wrong class
+        sp, sn, gt, _, ineg = env.get_positive_negative(generate_audio=False)
+        assert gt in (0, cfg.taskNum - 1, cfg.taskNum)
+    assert outward_hits >= 50

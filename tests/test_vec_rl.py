@@ -81,6 +81,33 @@ def test_shmem_vecenv_matches_dummy():
     shmem.close()
 
 
+def test_get_images_and_tiled_render():
+    """All-env render: get_images returns one frame per env in env order
+    and render() composes them with tile_images (reference:
+    shmem_vec_env.py:97-100 broadcast + vec_env.py:112-121 tiling)."""
+    from var_tpu.envs.vec.shmem import ShmemVecEnv
+    from var_tpu.envs.vec.wrappers import tile_images
+
+    def mk(seed):
+        def fn():
+            e = FakeArmEnv(max_steps=3)
+            e.seed(seed)
+            return e
+        return fn
+
+    for venv in (DummyVecEnv([mk(3), mk(4)]),
+                 ShmemVecEnv([mk(3), mk(4)], context="fork")):
+        venv.reset()
+        imgs = venv.get_images()
+        assert len(imgs) == 2
+        # per-env frames arrive in env order (seed encoded in pixel fill)
+        assert imgs[0][1, 1, 0] == 3 and imgs[1][1, 1, 0] == 4
+        big = venv.render("rgb_array")
+        np.testing.assert_array_equal(big, tile_images(imgs))
+        assert big.shape == (16, 8, 3)  # 2x1 grid of 8x8 frames
+        venv.close()
+
+
 def test_shmem_forkserver_with_registry(tmp_path):
     """Regression: forkserver/spawn workers start with an EMPTY env
     registry (it is process-local runtime state), so the factory thunk
@@ -101,6 +128,50 @@ def test_shmem_forkserver_with_registry(tmp_path):
     obs, rew, done, infos = envs.step(np.zeros((2, 2), np.float32))
     assert rew.shape == (2,)
     envs.close()
+
+
+def test_ppo_lr_schedule():
+    """Optional PPO LR decay (beats the reference's fixed Adam,
+    RL.py:115): constant by default, linear/cosine decay to
+    lr*final_factor over the optimizer-step horizon when enabled."""
+    from var_tpu.rl.ppo import PPO, PPOConfig, PPOState
+
+    base = dict(clip_param=0.2, ppo_epoch=4, num_mini_batch=2,
+                value_loss_coef=0.5, entropy_coef=0.01, lr=3e-5,
+                eps=1e-5, max_grad_norm=0.5)
+    params = {"w": jnp.ones(3)}
+    grads = {"w": jnp.ones(3) * 0.1}
+
+    # default: constant (reference parity), no schedule state cost
+    ppo_const = PPO(None, PPOConfig(**base))
+    st = ppo_const.init_state(params)
+    assert ppo_const.current_lr(st) == pytest.approx(3e-5)
+
+    ppo = PPO(None, PPOConfig(**base, lr_decay="linear",
+                              lr_decay_start=0.5, lr_final_factor=0.1,
+                              total_opt_steps=100))
+    state = ppo.init_state(params)
+    assert ppo.current_lr(state) == pytest.approx(3e-5, rel=1e-5)
+    p, opt = params, state.opt_state
+    lrs = []
+    for i in range(100):
+        lrs.append(ppo.current_lr(PPOState(p, opt, i)))
+        upd, opt = ppo.tx.update(grads, opt, p)
+    # constant for the first half, then linear down to lr/10
+    assert lrs[49] == pytest.approx(3e-5, rel=1e-5)
+    assert lrs[-1] < 4e-6  # one step before the horizon
+    final = ppo.current_lr(PPOState(p, opt, 100))
+    assert final == pytest.approx(3e-6, rel=1e-4)
+    assert all(a >= b - 1e-12 for a, b in zip(lrs, lrs[1:]))  # monotone
+
+    # config plumbing: RLLrDecay knob reaches PPOConfig.from_config
+    cfg = main_config(env="arms")
+    cfg.override(RLTrain=True, RLLrDecay="cosine", RLTotalSteps=8000,
+                 ppoNumSteps=100, RLNumEnvs=8)
+    pc = PPOConfig.from_config(cfg)
+    assert pc.lr_decay == "cosine"
+    assert pc.total_opt_steps == 10 * cfg.ppoEpoch * cfg.ppoNumMiniBatch
+    PPO(None, pc)  # cosine schedule builds
 
 
 def test_rollout_storage_shapes():

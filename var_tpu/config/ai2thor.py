@@ -80,6 +80,11 @@ class AI2ThorConfig(ConfigBase):
         self.RLRecurrentPolicy = True
         self.RLLr = 6e-5
         self.RLEps = 1e-5
+        # PPO LR schedule — None keeps the reference's constant-LR Adam
+        # (reference: RL.py:115); see config/arm.py for semantics.
+        self.RLLrDecay = None
+        self.RLLrDecayStart = 0.33
+        self.RLLrFinalFactor = 0.1
         self.RLMaxGradNorm = 0.5
         self.RLTotalSteps = 1e6
         self.RLModelSaveInterval = 200

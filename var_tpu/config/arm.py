@@ -67,6 +67,15 @@ class ArmConfig(ConfigBase):
         self.pretextCoverageCollect = False
         self.pretextBoundaryFrac = 0.5
         self.pretextBoundaryBand = 0.03
+        # End-slot flank coverage (round-5): fraction of collection
+        # poses teleported into the outward flank zone of the row's end
+        # slots (out to pretextEndFlankBand metres from the end object's
+        # centre), where end-slot reward leaks outward with the default
+        # random walk (ROADMAP round-4 class_3 diagnosis). Pose
+        # distribution only — ray-test labeling and uniform negatives
+        # are unchanged. 0.0 keeps reference semantics.
+        self.pretextEndFlankFrac = 0.0
+        self.pretextEndFlankBand = 0.09
         self.plotRepresentation = 50
         self.plotNumBatch = 10
         self.annotateLastBatch = False
@@ -90,6 +99,13 @@ class ArmConfig(ConfigBase):
         self.RLRecurrentPolicy = True
         self.RLLr = 3e-5
         self.RLEps = 1e-5
+        # PPO LR schedule — None keeps the reference's constant-LR Adam
+        # (reference: RL.py:115). 'linear' or 'cosine' holds RLLr until
+        # RLLrDecayStart of the run, then decays to RLLr*RLLrFinalFactor,
+        # damping the post-saturation success-band oscillation.
+        self.RLLrDecay = None
+        self.RLLrDecayStart = 0.33
+        self.RLLrFinalFactor = 0.1
         self.RLMaxGradNorm = 0.5
         self.RLTotalSteps = 3e6
         self.RLModelSaveInterval = 200

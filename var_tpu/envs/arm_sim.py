@@ -161,7 +161,28 @@ class FourInARowSim(Env):
         uniformly over the workspace. Defaults keep reference semantics.
         """
         c = self.config
-        if getattr(c, "pretextCoverageCollect", False):
+        flank_p = getattr(c, "pretextEndFlankFrac", 0.0)
+        if flank_p > 0 and self.np_random.uniform() < flank_p:
+            # Outward flank of a random END slot. Round-4 diagnosis
+            # (ROADMAP "class_3 drag"): the end slots of the row leak
+            # reward outward on their open side — no adjacent object to
+            # discriminate against — out to 6-8 cm, beyond where the
+            # reference random walk leaves enough empty-labeled views.
+            # Teleporting a fraction of collection poses into that zone
+            # covers it with ordinary (uniform-negative) samples; labels
+            # still come from the ray test, so this changes the POSE
+            # distribution only, never the labeling semantics. No hard
+            # negatives (round-4 reward-wall lesson).
+            slot = 0 if self.np_random.randint(2) == 0 else c.taskNum - 1
+            inv = {v: k for k, v in self.objOrder.items()}
+            obj = self.objPose[inv[slot]]
+            sign = -1.0 if slot == 0 else 1.0  # slots ordered along +y
+            band = getattr(c, "pretextEndFlankBand", 0.09)
+            dy = self.np_random.uniform(OBJ_HALF_Y - 0.01, band)
+            dx = self.np_random.uniform(-(OBJ_HALF_X + 0.02),
+                                        OBJ_HALF_X + 0.02)
+            self.ee = obj + np.array([dx, sign * dy])
+        elif getattr(c, "pretextCoverageCollect", False):
             band = getattr(c, "pretextBoundaryBand", 0.03)
             if self.np_random.uniform() < getattr(
                     c, "pretextBoundaryFrac", 0.5):

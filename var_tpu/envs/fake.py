@@ -70,3 +70,11 @@ class FakeArmEnv(Env):
         reward = -float(np.abs(np.asarray(action)).sum())
         done = self.envStepCounter >= self.maxSteps
         return self._obs(), reward, done, {}
+
+    def render(self, mode="human"):
+        # deterministic HWC frame keyed on (seed, step) so vec-env
+        # get_images/tiling tests can check per-env frames end up in
+        # the right tile
+        frame = np.full((8, 8, 3), self.givenSeed % 256, np.uint8)
+        frame[0, 0, 0] = self.envStepCounter % 256
+        return frame

@@ -49,8 +49,25 @@ class VecEnv(ABC):
         self.step_async(actions)
         return self.step_wait()
 
+    def get_images(self):
+        """One RGB frame per environment (reference: vec_env.py:123-127)."""
+        raise NotImplementedError
+
     def render(self, mode="human"):
-        pass
+        """Tile every env's frame into one roughly-square composite
+        (reference: vec_env.py:112-121 → get_images → tile_images). The
+        reference's 'human' branch pushed the composite to an OpenCV
+        viewer; headless-first here, both modes return the array and the
+        caller decides how to display it."""
+        from .wrappers import tile_images
+
+        try:
+            imgs = [im for im in self.get_images() if im is not None]
+        except NotImplementedError:
+            return None
+        if not imgs:
+            return None
+        return tile_images(imgs)
 
     @property
     def unwrapped(self):
@@ -84,6 +101,9 @@ class VecEnvWrapper(VecEnv):
 
     def render(self, mode="human"):
         return self.venv.render(mode)
+
+    def get_images(self):
+        return self.venv.get_images()
 
     @property
     def unwrapped(self):

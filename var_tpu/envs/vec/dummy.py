@@ -49,8 +49,10 @@ class DummyVecEnv(VecEnv):
             tuple(infos),
         )
 
-    def render(self, mode="human"):
-        return self.envs[0].render(mode)
+    def get_images(self):
+        """One rgb_array frame per env; the base render() tiles them
+        (reference: dummy_vec_env.py get_images)."""
+        return [env.render("rgb_array") for env in self.envs]
 
     def close_extras(self):
         for env in self.envs:

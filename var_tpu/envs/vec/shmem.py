@@ -174,9 +174,14 @@ class ShmemVecEnv(VecEnv):
             tuple(infos),
         )
 
-    def render(self, mode="human"):
-        self.parent_pipes[0].send(("render", mode))
-        return self.parent_pipes[0].recv()
+    def get_images(self):
+        """Broadcast a render request to EVERY worker and collect the
+        frames in env order (reference: shmem_vec_env.py:97-100); the base
+        render() composes them with tile_images."""
+        for pipe in self.parent_pipes:
+            pipe.send(("render", "rgb_array"))
+        return [self._recv_checked(pipe, i)
+                for i, pipe in enumerate(self.parent_pipes)]
 
     def close_extras(self):
         if self.waiting_step:

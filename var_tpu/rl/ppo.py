@@ -44,9 +44,22 @@ class PPOConfig(NamedTuple):
     # backend compiles it in seconds; the unrolled loop is the same
     # program semantically.
     unroll_minibatches: bool = None
+    # LR schedule (beats the reference: RL.py:115 is a fixed-LR Adam).
+    # None = constant (reference parity). 'linear'/'cosine' hold lr until
+    # lr_decay_start * total_opt_steps optimizer steps, then decay to
+    # lr * lr_final_factor by total_opt_steps — stabilizes the
+    # post-saturation success band (round-4 finding: 0.62-0.93 swing).
+    lr_decay: str = None
+    lr_decay_start: float = 0.33
+    lr_final_factor: float = 0.1
+    total_opt_steps: int = 0
 
     @classmethod
     def from_config(cls, config):
+        # schedule horizon in OPTIMIZER steps: tx.update runs once per
+        # minibatch, epochs x minibatches times per PPO update
+        num_updates = int(config.RLTotalSteps) // (
+            int(config.ppoNumSteps) * int(config.RLNumEnvs))
         return cls(
             clip_param=config.ppoClipParam,
             ppo_epoch=config.ppoEpoch,
@@ -56,6 +69,11 @@ class PPOConfig(NamedTuple):
             lr=config.RLLr,
             eps=config.RLEps,
             max_grad_norm=config.RLMaxGradNorm,
+            lr_decay=getattr(config, "RLLrDecay", None),
+            lr_decay_start=getattr(config, "RLLrDecayStart", 0.33),
+            lr_final_factor=getattr(config, "RLLrFinalFactor", 0.1),
+            total_opt_steps=max(
+                1, num_updates * config.ppoEpoch * config.ppoNumMiniBatch),
         )
 
 
@@ -74,8 +92,40 @@ class PPO:
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=cfg.eps),
-            optax.scale_by_learning_rate(cfg.lr),
+            optax.scale_by_learning_rate(self._lr_schedule()),
         )
+
+    def _lr_schedule(self):
+        """Constant LR by default (reference parity: RL.py:115 fixed
+        Adam); optional decay schedule over the training horizon, counted
+        in optimizer steps (one per minibatch)."""
+        cfg = self.cfg
+        if not cfg.lr_decay:
+            return cfg.lr
+        total = max(1, int(cfg.total_opt_steps))
+        start = min(total - 1, int(total * cfg.lr_decay_start))
+        decay_len = max(1, total - start)
+        floor = cfg.lr * cfg.lr_final_factor
+        if cfg.lr_decay == "linear":
+            tail = optax.linear_schedule(cfg.lr, floor, decay_len)
+        elif cfg.lr_decay == "cosine":
+            tail = optax.cosine_decay_schedule(
+                cfg.lr, decay_len, alpha=cfg.lr_final_factor)
+        else:
+            raise ValueError(
+                f"unknown lr_decay {cfg.lr_decay!r} (None|'linear'|'cosine')")
+        return optax.join_schedules(
+            [optax.constant_schedule(cfg.lr), tail], [start])
+
+    def current_lr(self, state: "PPOState") -> float:
+        """LR at the state's optimizer count (for progress logging)."""
+        sched = self._lr_schedule()
+        if not callable(sched):
+            return float(sched)
+        # our chain ends in scale_by_learning_rate(schedule), whose
+        # ScaleByScheduleState is the final element of the chain state
+        count = state.opt_state[-1].count
+        return float(sched(count))
 
     def init_state(self, params) -> PPOState:
         return PPOState(params, self.tx.init(params), jnp.asarray(0, jnp.int32))

@@ -595,12 +595,32 @@ class PretextTrainer:
                 visit = np.tile(visit, reps)[:chunk_items]
             local = (visit - a).astype(np.int32)
             local %= (b - a)  # wrapped pad rows map into the real slab
-            return (jnp.asarray(np.ascontiguousarray(img)),
-                    jnp.asarray(local.reshape(sh)),
-                    jnp.asarray(pos_ids[visit].reshape(sh)),
-                    jnp.asarray(pos_zero[visit].reshape(sh)),
-                    jnp.asarray(neg_ids[visit].reshape(sh)),
-                    jnp.asarray(neg_zero[visit].reshape(sh)))
+
+            # mirror _run_epoch_indexed's placement on a mesh: the slab
+            # (gathered by index inside the scan) is replicated like the
+            # resident image array, the (S, B) visit/clip-id arrays are
+            # dp-sharded on the batch axis — otherwise the >HBM path
+            # would silently collapse to single-device placement
+            def put_img(x):
+                if self._replicated is not None:
+                    return jax.device_put(x, self._replicated)
+                return jnp.asarray(x)
+
+            def put_idx(x):
+                if self._batch_sharding is not None:
+                    import jax.sharding as shd
+
+                    s = shd.NamedSharding(
+                        self._mesh, shd.PartitionSpec(None, "dp"))
+                    return jax.device_put(x, s)
+                return jnp.asarray(x)
+
+            return (put_img(np.ascontiguousarray(img)),
+                    put_idx(local.reshape(sh)),
+                    put_idx(pos_ids[visit].reshape(sh)),
+                    put_idx(pos_zero[visit].reshape(sh)),
+                    put_idx(neg_ids[visit].reshape(sh)),
+                    put_idx(neg_zero[visit].reshape(sh)))
 
         losses_all = []
         with ThreadPoolExecutor(

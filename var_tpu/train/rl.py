@@ -232,6 +232,7 @@ class RLTrainer:
                     "loss/policy_entropy": m["dist_entropy"],
                     "loss/policy_loss": m["action_loss"],
                     "loss/value_loss": m["value_loss"],
+                    "lr": self.ppo.current_lr(self.state),
                     "perf/collect_ms": round(
                         self.timer.p50_ms("collect"), 3),
                     "perf/ppo_update_ms": round(
@@ -411,6 +412,7 @@ class RLTrainer:
                     "loss/policy_entropy": m["dist_entropy"],
                     "loss/policy_loss": m["action_loss"],
                     "loss/value_loss": m["value_loss"],
+                    "lr": self.ppo.current_lr(self.state),
                     "perf/fused_step_ms": round(
                         self.timer.p50_ms("fused_step"), 3),
                     "perf/env_step_ms": round(
@@ -540,6 +542,7 @@ class RLTrainer:
                     "loss/policy_entropy": m["dist_entropy"],
                     "loss/policy_loss": m["action_loss"],
                     "loss/value_loss": m["value_loss"],
+                    "lr": self.ppo.current_lr(self.state),
                     "perf/var_reward_p50_ms": round(var_p50, 3),
                     "perf/policy_act_ms": round(
                         self.timer.p50_ms("policy_act"), 3),

@@ -69,8 +69,13 @@ class KVLogger:
                     step = int(step)
                 except (TypeError, ValueError):
                     step = self._tb_step
+                # In a stream mixing dumps with and without 'nupdates',
+                # a plain dump-counter fallback could fall BELOW the last
+                # real step and write out-of-order points; keep the step
+                # monotone instead.
+                step = max(step, self._tb_step)
                 self._tb.add_scalars(step, out)
-                self._tb_step += 1
+                self._tb_step = step + 1
         self.kvs.clear()
         self.counts.clear()
         return out
