@@ -76,7 +76,8 @@ def main():
     results = {}
     for name, cknobs in (
             ("ref", {}),
-            ("flank25", {"pretextEndFlankFrac": 0.25}),
+            ("flank25b", {"pretextEndFlankFrac": 0.25}),
+            ("flank15b", {"pretextEndFlankFrac": 0.15}),
     ):
         work = f"/tmp/flank_probe/{name}"
         os.makedirs(work, exist_ok=True)
@@ -103,6 +104,10 @@ def main():
         print(name, json.dumps(row, indent=1))
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "flank_probe_r5.json")
+    if os.path.exists(out):
+        prev = json.load(open(out))
+        prev.update(results)
+        results = prev
     json.dump(results, open(out, "w"), indent=1)
     print("wrote", out)
 

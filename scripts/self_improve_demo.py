@@ -182,6 +182,12 @@ def main():
                          "-- e.g. the round-4 arm recipe: --set "
                          "representationDim=8 pretextCoverageCollect=True "
                          "pretextHardNegProb=0.7")
+    ap.add_argument("--improve-set", nargs="*", default=[],
+                    metavar="KNOB=VALUE", dest="improve_set_items",
+                    help="extra overrides applied ONLY to the improve "
+                         "rounds' collect/VAR/policy stages (on top of "
+                         "--set), keeping the weak baseline at reference "
+                         "semantics -- e.g. pretextEndFlankFrac=0.2")
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the reward-landscape probes recorded after "
                          "each eval stage")
@@ -222,6 +228,8 @@ def main():
         "weak": {"collect_per_class": args.weak_per_class,
                  "var_epochs": args.weak_var_epochs,
                  "rl_steps": args.weak_rl_steps},
+        "recipe_set": list(args.set_items),
+        "improve_set": list(args.improve_set_items),
         "rounds": [],
     }
     timings = {}
@@ -272,7 +280,7 @@ def main():
             ent_coef=args.ent_coef,
             collect_per_class=args.improve_per_class,
             var_epochs=args.weak_var_epochs, device_sim=True,
-            extra_set=args.set_items)
+            extra_set=list(args.set_items) + list(args.improve_set_items))
         # build_config points pretextModelLoadDir at the weak VAR's last
         # epoch — exactly the checkpoint round 1's fine-tune must start
         # from; self_improve() itself advances it to the newly fine-tuned

@@ -291,9 +291,9 @@ def test_arm_end_flank_collection(arm_cfg, arm_audio):
         d_lo = env.ee - lo
         d_hi = env.ee - hi
         near_lo = (abs(d_lo[0]) <= OBJ_HALF_X + 0.02 + 1e-9
-                   and -0.09 - 1e-9 <= d_lo[1] <= -(OBJ_HALF_Y - 0.01) + 1e-9)
+                   and -0.09 - 1e-9 <= d_lo[1] <= -(OBJ_HALF_Y + 0.005) + 1e-9)
         near_hi = (abs(d_hi[0]) <= OBJ_HALF_X + 0.02 + 1e-9
-                   and (OBJ_HALF_Y - 0.01) - 1e-9 <= d_hi[1] <= 0.09 + 1e-9)
+                   and (OBJ_HALF_Y + 0.005) - 1e-9 <= d_hi[1] <= 0.09 + 1e-9)
         # workspace clipping can pull a pose back in-bounds at the edge;
         # it must still be on the outward side of one end slot
         assert near_lo or near_hi or env.ee[1] in (cfg.yMin, cfg.yMax)

@@ -178,7 +178,11 @@ class FourInARowSim(Env):
             obj = self.objPose[inv[slot]]
             sign = -1.0 if slot == 0 else 1.0  # slots ordered along +y
             band = getattr(c, "pretextEndFlankBand", 0.09)
-            dy = self.np_random.uniform(OBJ_HALF_Y - 0.01, band)
+            # strictly OUTSIDE the hitbox: flank poses must only add
+            # empty-labeled views (probing showed that including the
+            # hitbox edge biases end-class positives toward boundary
+            # views and widens the leak instead of closing it)
+            dy = self.np_random.uniform(OBJ_HALF_Y + 0.005, band)
             dx = self.np_random.uniform(-(OBJ_HALF_X + 0.02),
                                         OBJ_HALF_X + 0.02)
             self.ee = obj + np.array([dx, sign * dy])
