@@ -233,6 +233,17 @@ def main():
         "rounds": [],
     }
     timings = {}
+    # continuation support: a later invocation (e.g. --stages
+    # improve,final_eval to add rounds) preloads the artifact's existing
+    # weak baseline + rounds so persist() keeps the whole curve
+    if "weak" not in stages and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f).get("profiles", {}).get(
+                args.env, {}).get("self_improve_demo", {})
+        if prev.get("rounds") or prev.get("weak", {}).get("success_rate"):
+            result["weak"] = prev.get("weak", result["weak"])
+            result["rounds"] = prev.get("rounds", [])
+            timings.update(prev.get("timings_s", {}))
     weak_var_ckpt = os.path.join(args.work, "var_model",
                                  str(args.weak_var_epochs - 1))
     ft_var_ckpt = os.path.join(args.work, "var_model",
@@ -294,7 +305,7 @@ def main():
                          rl_steps=args.ft_rl_steps,
                          var_mode=args.var_mode)
             round_rec = {
-                "round": r + 1,
+                "round": len(result["rounds"]) + 1,
                 "var_mode": args.var_mode,
                 "collect_per_class": args.improve_per_class,
                 "ft_var_epochs": args.ft_var_epochs,

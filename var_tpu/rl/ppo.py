@@ -57,9 +57,12 @@ class PPOConfig(NamedTuple):
     @classmethod
     def from_config(cls, config):
         # schedule horizon in OPTIMIZER steps: tx.update runs once per
-        # minibatch, epochs x minibatches times per PPO update
-        num_updates = int(config.RLTotalSteps) // (
-            int(config.ppoNumSteps) * int(config.RLNumEnvs))
+        # minibatch, epochs x minibatches times per PPO update. The
+        # horizon knobs may be absent on minimal test configs — they
+        # only matter when a decay schedule is enabled.
+        num_updates = int(getattr(config, "RLTotalSteps", 0)) // max(
+            1, int(getattr(config, "ppoNumSteps", 1))
+            * int(getattr(config, "RLNumEnvs", 1)))
         return cls(
             clip_param=config.ppoClipParam,
             ppo_epoch=config.ppoEpoch,
