@@ -131,7 +131,10 @@ def bench_tpu(cfg, audio, batches, warmup: int = 3, iters: int = 96):
     wide = None
     try:
         WIDE_B, S_w = 1024, 8
-        state_w = state
+        # the epoch scan DONATES its state argument: run the wide rows on
+        # a deep copy so the shared `state` stays alive for the streaming
+        # and chunked sections below
+        state_w = jax.tree_util.tree_map(jnp.array, state)
         state_w, losses_w = trainer._train_epoch_scan(  # compile
             state_w, d_img, d_wav, d_len, *epoch_indices(S_w, WIDE_B))
         float(np.asarray(losses_w)[-1])
